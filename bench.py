@@ -1,0 +1,120 @@
+"""Benchmark harness: headline metric = training rays/sec/chip on the
+nerf-synthetic-lego workload (2048 rays/step, 64 coarse + 128 fine samples,
+two 8x256 FlexibleNeRF MLPs, Adam + exp-decay schedule) — the reference's
+flagship config (config/nerf-synthetic-lego.yml:182-191).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the PyTorch reference measured on this host's
+CPU via scripts/measure_reference_baseline.py (the reference repo publishes
+no numbers and no GPU is present; see BASELINE.md). Extra detail metrics go
+to stderr / bench_details.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Measured by scripts/measure_reference_baseline.py (reference torch code
+# run in-place on this host's CPU, same workload). See BASELINE.md.
+BASELINE_TRAIN_RAYS_PER_SEC = None  # filled after measurement; fallback below
+_BASELINE_FILE = "BASELINE_MEASURED.json"
+
+
+def _load_baseline() -> float | None:
+    try:
+        with open(_BASELINE_FILE) as fh:
+            return float(json.load(fh)["train_rays_per_sec"])
+    except Exception:
+        return BASELINE_TRAIN_RAYS_PER_SEC
+
+
+def main() -> None:
+    import jax
+
+    from nerfmeshes_tpu.config import get_default_cfg
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+    from nerfmeshes_tpu.train.optim import build_optimizer
+    from nerfmeshes_tpu.train.step import init_train_state, make_train_step
+    from nerfmeshes_tpu.train.system import create_models, init_params
+
+    cfg = get_default_cfg()
+    cfg.experiment.compute_dtype = "bfloat16"
+    cfg.experiment.steps_per_call = 20
+    cfg.nerf.train.perturb = True
+    cfg.dataset.type = "synthetic"
+
+    # lego-shaped workload, synthetic targets at 800x800 (no dataset ships
+    # with the reference; ray math + model are identical to the lego config).
+    dataset = SyntheticDataset(cfg, DatasetType.TRAIN, num_images=4, image_size=800)
+    data = dataset.device_arrays()
+    H, W, focal = dataset.hwf
+
+    coarse, fine = create_models(cfg)
+    optimizer = build_optimizer(cfg)
+    params = init_params(cfg, coarse, fine, jax.random.key(0))
+    state = init_train_state(params, optimizer, seed=0)
+
+    train_fn = make_train_step(
+        cfg, coarse, fine, optimizer, H=int(H), W=int(W), focal=float(focal)
+    )
+
+    # Warmup / compile.
+    t0 = time.time()
+    state, metrics = train_fn(state, data)
+    jax.block_until_ready(metrics["train/loss"])
+    compile_s = time.time() - t0
+
+    # Timed run.
+    steps_per_call = int(cfg.experiment.steps_per_call)
+    rays_per_step = int(cfg.nerf.train.num_random_rays)
+    n_calls = 15
+    t0 = time.time()
+    for _ in range(n_calls):
+        state, metrics = train_fn(state, data)
+    jax.block_until_ready(metrics["train/loss"])
+    elapsed = time.time() - t0
+
+    total_rays = n_calls * steps_per_call * rays_per_step
+    rays_per_sec = total_rays / elapsed
+    n_chips = jax.device_count()
+    rays_per_sec_chip = rays_per_sec / n_chips
+
+    baseline = _load_baseline()
+    vs_baseline = rays_per_sec_chip / baseline if baseline else None
+
+    details = {
+        "device": str(jax.devices()[0]),
+        "n_chips": n_chips,
+        "compile_s": compile_s,
+        "steps_per_sec": n_calls * steps_per_call / elapsed,
+        "train_rays_per_sec_total": rays_per_sec,
+        "final_loss": float(metrics["train/loss"]),
+        "baseline_train_rays_per_sec": baseline,
+    }
+    print(json.dumps(details), file=sys.stderr)
+    try:
+        with open("bench_details.json", "w") as fh:
+            json.dump(details, fh, indent=2)
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip_lego",
+                "value": round(rays_per_sec_chip, 1),
+                "unit": "rays/s/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

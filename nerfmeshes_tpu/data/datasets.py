@@ -1,0 +1,211 @@
+"""Dataset layer: host-side loading + device-resident ray pools.
+
+The reference streams one image per step through DataLoader workers with
+host-side random-ray subsampling (src/data/datasets.py:133-291). On TPU we
+instead keep the whole split resident in device HBM (targets as compact
+arrays, poses as 4x4 matrices) and do the per-step image/pixel sampling and
+ray generation *inside the jitted train step* — no host↔device traffic per
+step. The host-side classes here only parse, cache, and hand over arrays.
+
+The reference's on-disk per-image cache ({cache_dir}/{split}/NNNN.data,
+src/data/datasets.py:248-283) survives as one .npz per split.
+"""
+
+from __future__ import annotations
+
+import os
+from enum import Enum
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from nerfmeshes_tpu.data.bundle import DataBundle
+from nerfmeshes_tpu.data.helpers import synthesis_poses
+from nerfmeshes_tpu.data.loaders.blender import load_blender_data
+from nerfmeshes_tpu.ops.rays import get_ray_bundle
+
+import jax.numpy as jnp
+
+
+class DatasetType(Enum):
+    TRAIN = "train"
+    TEST = "test"
+    VALIDATION = "val"
+
+
+def convert_poses_to_rays(poses: np.ndarray, H: int, W: int, focal: float):
+    """All images' rays at once (vectorized; reference loops per pose,
+    src/data/datasets.py:47-59)."""
+    origins, directions = get_ray_bundle(int(H), int(W), float(focal), jnp.asarray(poses))
+    return np.asarray(origins), np.asarray(directions)
+
+
+class RayDataset:
+    """Base dataset: one item = one image's rays.
+
+    Subclasses implement `load_dataset() -> DataBundle` with ray_targets
+    (N,H,W,3), poses (N,4,4), hwf, and optionally per-image ray_bounds.
+    """
+
+    def __init__(self, cfg, type: DatasetType = DatasetType.TRAIN):
+        self.cfg = cfg
+        self.type = type
+        self.synthetic_poses: Optional[np.ndarray] = None
+
+        cache_cfg = cfg.dataset.caching
+        cache_path = Path(cache_cfg.cache_dir) / f"{type.value}.npz"
+        if cache_cfg.use_caching and cache_path.exists() and not cache_cfg.override_caching:
+            data = np.load(cache_path, allow_pickle=False)
+            bundle = DataBundle(
+                ray_targets=data["ray_targets"],
+                poses=data["poses"],
+                hwf=data["hwf"],
+                ray_bounds=data["ray_bounds"] if "ray_bounds" in data else None,
+                target_depth=data["target_depth"] if "target_depth" in data else None,
+            )
+        else:
+            bundle = self.load_dataset()
+            if cache_cfg.use_caching:
+                os.makedirs(cache_path.parent, exist_ok=True)
+                np.savez(cache_path, **bundle.serialize())
+
+        if bundle.ray_bounds is None:
+            bundle.ray_bounds = np.array(
+                [cfg.dataset.near, cfg.dataset.far], dtype=np.float32
+            )
+        self.bundle = bundle
+
+    # -- basic accessors -------------------------------------------------------
+    @property
+    def hwf(self) -> np.ndarray:
+        return np.asarray(self.bundle.hwf)
+
+    @property
+    def num_images(self) -> int:
+        if self.synthetic_poses is not None:
+            return self.synthetic_poses.shape[0]
+        return self.bundle.ray_targets.shape[0]
+
+    def __len__(self) -> int:
+        return self.num_images
+
+    @property
+    def poses(self) -> np.ndarray:
+        if self.synthetic_poses is not None:
+            return self.synthetic_poses
+        return np.asarray(self.bundle.poses)
+
+    def image_bundle(self, idx: int) -> DataBundle:
+        """One image's rays as a flat ray batch (val/eval path)."""
+        H, W, focal = self.hwf
+        pose = self.poses[idx]
+        origins, directions = get_ray_bundle(int(H), int(W), float(focal), jnp.asarray(pose))
+        bundle = DataBundle(
+            ray_origins=np.asarray(origins),
+            ray_directions=np.asarray(directions),
+            ray_targets=None
+            if self.synthetic_poses is not None
+            else np.asarray(self.bundle.ray_targets[idx]),
+            ray_bounds=self._bounds_for(idx),
+            target_depth=None
+            if self.bundle.target_depth is None or self.synthetic_poses is not None
+            else np.asarray(self.bundle.target_depth[idx]),
+            hwf=self.hwf,
+        )
+        if self.cfg.dataset.use_ndc:
+            bundle = bundle.ndc()
+        return bundle
+
+    def _bounds_for(self, idx: int) -> np.ndarray:
+        b = np.asarray(self.bundle.ray_bounds)
+        return b[idx] if b.ndim == 2 else b
+
+    def synthesis(self) -> "RayDataset":
+        """Swap targets for 120 synthesized orbit poses (novel-view render;
+        reference: src/data/datasets.py:105-130)."""
+        self.synthetic_poses = synthesis_poses()
+        return self
+
+    # -- device handover ---------------------------------------------------------
+    def device_arrays(self) -> dict:
+        """Everything the jitted train step samples from, as jnp arrays:
+        targets (N,H,W,3), poses (N,4,4), bounds (2,) or (N,2), hwf."""
+        return {
+            "targets": jnp.asarray(self.bundle.ray_targets),
+            "poses": jnp.asarray(self.poses),
+            "bounds": jnp.asarray(self.bundle.ray_bounds),
+            "hwf": self.hwf,
+        }
+
+    def load_dataset(self) -> DataBundle:
+        raise NotImplementedError
+
+
+class BlenderDataset(RayDataset):
+    """Blender synthetic scenes (transforms_{split}.json).
+
+    `testskip` strides val/test frames (declared in the reference schema;
+    its loader reads all frames — we honor the documented knob)."""
+
+    @property
+    def dataset_path(self) -> Path:
+        return Path(self.cfg.dataset.basedir) / f"transforms_{self.type.value}.json"
+
+    def load_dataset(self) -> DataBundle:
+        bundle = load_blender_data(self.cfg, str(self.dataset_path))
+        skip = int(self.cfg.dataset.testskip or 1)
+        if skip > 1 and self.type != DatasetType.TRAIN:
+            bundle = DataBundle(
+                ray_targets=bundle.ray_targets[::skip],
+                poses=bundle.poses[::skip],
+                target_depth=None
+                if bundle.target_depth is None
+                else bundle.target_depth[::skip],
+                target_normals=None
+                if bundle.target_normals is None
+                else bundle.target_normals[::skip],
+                hwf=bundle.hwf,
+            )
+        return bundle
+
+
+class SyntheticDataset(RayDataset):
+    """Procedural analytic scene (tests/benchmarks; no files needed)."""
+
+    def __init__(self, cfg, type: DatasetType = DatasetType.TRAIN, num_images=8, image_size=32):
+        self._num_images = num_images
+        self._image_size = image_size
+        super().__init__(cfg, type)
+
+    def load_dataset(self) -> DataBundle:
+        from nerfmeshes_tpu.data.synthetic import make_synthetic_dataset
+
+        seed = {"train": 0, "val": 1, "test": 2}[self.type.value]
+        return make_synthetic_dataset(
+            num_images=self._num_images,
+            image_size=self._image_size,
+            near=self.cfg.dataset.near,
+            far=self.cfg.dataset.far,
+            white_background=self.cfg.dataset.white_background,
+            seed=seed,
+        )
+
+
+def build_dataset(cfg, type: DatasetType) -> RayDataset:
+    """Dataset factory by cfg.dataset.type (reference:
+    src/models/model_base.py:106-115)."""
+    kind = cfg.dataset.type
+    if kind == "blender":
+        return BlenderDataset(cfg, type)
+    if kind == "synthetic":
+        return SyntheticDataset(cfg, type)
+    if kind == "colmap":
+        from nerfmeshes_tpu.data.colmap_dataset import ColmapDataset
+
+        return ColmapDataset(cfg, type)
+    if kind == "scannet":
+        from nerfmeshes_tpu.data.scannet_dataset import ScanNetDataset
+
+        return ScanNetDataset(cfg, type)
+    raise ValueError(f"Unknown dataset type {kind!r}")

@@ -1,0 +1,30 @@
+from nerfmeshes_tpu.ops.math import cumprod_exclusive, img2mse, mse2psnr
+from nerfmeshes_tpu.ops.encoding import (
+    frequency_bands,
+    positional_encoding,
+    positional_encoding_output_size,
+)
+from nerfmeshes_tpu.ops.rays import get_ray_bundle, intervals_to_ray_points, ndc_rays
+from nerfmeshes_tpu.ops.sampling import (
+    hierarchical_intervals,
+    ray_sample_interval,
+    sample_pdf,
+)
+from nerfmeshes_tpu.ops.render import RenderOutput, volume_render
+
+__all__ = [
+    "cumprod_exclusive",
+    "img2mse",
+    "mse2psnr",
+    "frequency_bands",
+    "positional_encoding",
+    "positional_encoding_output_size",
+    "get_ray_bundle",
+    "intervals_to_ray_points",
+    "ndc_rays",
+    "hierarchical_intervals",
+    "ray_sample_interval",
+    "sample_pdf",
+    "RenderOutput",
+    "volume_render",
+]

@@ -1,0 +1,38 @@
+"""Small numeric primitives shared across the framework.
+
+Semantics match the reference helpers (src/nerf/nerf_helpers.py:13-23,199-223)
+but are expressed as pure, jit-friendly jnp functions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cumprod_exclusive(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """TF-style exclusive cumulative product along `axis`.
+
+    out[..., i] = prod(x[..., :i]), with out[..., 0] = 1.
+    (reference: src/nerf/nerf_helpers.py:199-223)
+    """
+    if axis != -1:
+        x = jnp.moveaxis(x, axis, -1)
+    ones = jnp.ones_like(x[..., :1])
+    out = jnp.concatenate([ones, jnp.cumprod(x[..., :-1], axis=-1)], axis=-1)
+    if axis != -1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+def img2mse(src: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error between two images / ray batches."""
+    return jnp.mean((src - target) ** 2)
+
+
+def mse2psnr(mse: jnp.ndarray) -> jnp.ndarray:
+    """PSNR for signals in [0, 1]; zero MSE is clamped for stability.
+
+    (reference: src/nerf/nerf_helpers.py:17-23)
+    """
+    mse = jnp.where(mse == 0, 1e-5, mse)
+    return -10.0 * jnp.log10(mse)

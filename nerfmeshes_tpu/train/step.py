@@ -1,0 +1,238 @@
+"""The jitted training step and full-image render path.
+
+TPU-first redesign of the reference train loop
+(src/models/model_nerf.py:88-151): where the reference moves CPU ray chunks
+to the device inside a Python loop, here the entire dataset lives in HBM
+and ONE jitted program per step does: sample an image + random pixels,
+generate the rays, run coarse→PDF→fine rendering, compute losses, and apply
+the optimizer update — optionally lax.scan-ed over `steps_per_call` steps
+to amortize dispatch. Rays are sharded over the device mesh; params are
+replicated and XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
+from nerfmeshes_tpu.ops.rays import ndc_rays
+from nerfmeshes_tpu.parallel.mesh import shard_rays
+from nerfmeshes_tpu.train.render import RenderSettings, render_rays
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+    key: jax.Array
+
+
+def init_train_state(params, optimizer, seed: int) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+        key=jax.random.key(seed),
+    )
+
+
+def _sample_ray_batch(data, key, *, H, W, focal, num_rays, use_ndc, mesh):
+    """On-device replacement for DataLoader workers + batch_random_sampling
+    (reference: src/data/data_helpers.py:40-51): pick one image, then
+    `num_rays` random pixels of it, and build their world rays from the pose."""
+    k_img, k_pix = jax.random.split(key)
+    num_images = data["poses"].shape[0]
+    img = jax.random.randint(k_img, (), 0, num_images)
+    pix = jax.random.randint(k_pix, (num_rays,), 0, H * W)
+
+    pose = data["poses"][img]
+    targets = data["targets"][img].reshape(H * W, -1)[pix]
+
+    x = (pix % W).astype(jnp.float32)
+    y = (pix // W).astype(jnp.float32)
+    dirs_cam = jnp.stack(
+        [(x - W * 0.5) / focal, -(y - H * 0.5) / focal, -jnp.ones_like(x)], axis=-1
+    )
+    dirs_cam = dirs_cam / jnp.linalg.norm(dirs_cam, axis=-1, keepdims=True)
+    directions = jnp.einsum("ij,rj->ri", pose[:3, :3], dirs_cam)
+    origins = jnp.broadcast_to(pose[:3, 3], directions.shape)
+
+    bounds = data["bounds"]
+    if bounds.ndim == 2:
+        near, far = bounds[img, 0], bounds[img, 1]
+    else:
+        near, far = bounds[0], bounds[1]
+
+    if use_ndc:
+        origins, directions = ndc_rays(H, W, focal, 1.0, origins, directions)
+
+    origins, directions, targets = shard_rays(mesh, origins, directions, targets)
+    return origins, directions, targets, near, far
+
+
+def make_train_step(
+    cfg,
+    coarse_model,
+    fine_model,
+    optimizer: optax.GradientTransformation,
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    mesh=None,
+    steps_per_call: Optional[int] = None,
+    donate: bool = True,
+):
+    """Build the jitted multi-step train function.
+
+    Returns fn(state, data) -> (state, metrics) advancing
+    `steps_per_call` optimizer steps per call (metrics from the last step,
+    matching per-step logging cadence).
+    """
+    settings = RenderSettings.from_cfg(cfg, train=True)
+    num_rays = int(cfg.nerf.train.num_random_rays)
+    use_ndc = bool(cfg.dataset.use_ndc)
+    use_fine = settings.use_fine and fine_model is not None
+    lr_schedule_cfg = cfg  # captured for lr metric
+    if steps_per_call is None:
+        steps_per_call = int(cfg.experiment.steps_per_call)
+
+    from nerfmeshes_tpu.train.optim import build_schedule
+
+    schedule = build_schedule(lr_schedule_cfg)
+
+    def loss_fn(params, origins, directions, targets, near, far, key):
+        coarse_bundle, fine_bundle = render_rays(
+            coarse_model,
+            fine_model,
+            params,
+            origins,
+            directions,
+            near,
+            far,
+            settings,
+            train=True,
+            key=key,
+        )
+        coarse_loss = img2mse(coarse_bundle.rgb_map, targets)
+        loss = coarse_loss
+        finest = fine_bundle if fine_bundle is not None else coarse_bundle
+        metrics = {
+            "train/coarse_loss": coarse_loss,
+            "train/coarse_psnr": mse2psnr(coarse_loss),
+            # For the reference's early-collapse check (model_base.py:179-187).
+            "train/rgb_sum": jnp.sum(finest.rgb_map),
+        }
+        if use_fine:
+            fine_loss = img2mse(fine_bundle.rgb_map, targets)
+            loss = loss + fine_loss
+            metrics["train/fine_loss"] = fine_loss
+            metrics["train/fine_psnr"] = mse2psnr(fine_loss)
+        metrics["train/loss"] = loss
+        return loss, metrics
+
+    def one_step(state: TrainState, data) -> tuple[TrainState, dict]:
+        key, k_sample, k_render = jax.random.split(state.key, 3)
+        origins, directions, targets, near, far = _sample_ray_batch(
+            data,
+            k_sample,
+            H=H,
+            W=W,
+            focal=focal,
+            num_rays=num_rays,
+            use_ndc=use_ndc,
+            mesh=mesh,
+        )
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, origins, directions, targets, near, far, k_render
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["train/lr"] = schedule(state.step)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        return new_state, metrics
+
+    def multi_step(state: TrainState, data):
+        if steps_per_call == 1:
+            return one_step(state, data)
+        state, metrics = jax.lax.scan(
+            lambda s, _: one_step(s, data), state, None, length=steps_per_call
+        )
+        # Report the last step's metrics.
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
+def make_render_chunk(cfg, coarse_model, fine_model, *, train: bool = False):
+    """Jitted fixed-shape ray-slab renderer for validation / eval / mesh
+    appearance. Call with identically-shaped chunks to avoid recompiles;
+    `render_image` below handles padding + assembly."""
+    settings = RenderSettings.from_cfg(cfg, train=train)
+
+    @jax.jit
+    def render_chunk(params, origins, directions, near, far):
+        coarse_bundle, fine_bundle = render_rays(
+            coarse_model,
+            fine_model,
+            params,
+            origins,
+            directions,
+            near,
+            far,
+            settings,
+            train=False,
+        )
+        return coarse_bundle, fine_bundle
+
+    return render_chunk
+
+
+def render_image(
+    render_chunk,
+    params,
+    origins,
+    directions,
+    near,
+    far,
+    *,
+    chunk_size: int,
+):
+    """Render an arbitrary number of rays through the fixed-shape jitted
+    chunk renderer (pads the tail chunk; host assembles the maps).
+
+    origins: (R, 3) or (3,), directions: (R, 3).
+    Returns (coarse, fine) RenderOutput pytrees of stacked numpy arrays.
+    """
+    import numpy as np
+
+    R = directions.shape[0]
+    origins = np.broadcast_to(np.reshape(np.asarray(origins), (-1, 3)), (R, 3))
+    directions = np.asarray(directions)
+
+    outs_c, outs_f = [], []
+    for start in range(0, R, chunk_size):
+        o = origins[start : start + chunk_size]
+        d = directions[start : start + chunk_size]
+        pad = chunk_size - o.shape[0]
+        if pad:
+            o = np.concatenate([o, np.repeat(o[-1:], pad, 0)], 0)
+            d = np.concatenate([d, np.repeat(d[-1:], pad, 0)], 0)
+        coarse, fine = render_chunk(params, jnp.asarray(o), jnp.asarray(d), near, far)
+        outs_c.append(jax.tree_util.tree_map(lambda x: np.asarray(x)[: chunk_size - pad], coarse))
+        if fine is not None:
+            outs_f.append(jax.tree_util.tree_map(lambda x: np.asarray(x)[: chunk_size - pad], fine))
+
+    def cat(outs):
+        if not outs:
+            return None
+        return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, 0), *outs)
+
+    return cat(outs_c), cat(outs_f)

@@ -1,0 +1,271 @@
+"""NeRFSystem — the training system (the reference's NeRFModel Lightning
+module, src/models/model_nerf.py, rebuilt around one jitted step).
+
+Responsibilities: build coarse/fine models from config, init params, own
+the jitted train/render functions, run the fit loop with validation
+cadence, early-collapse check, checkpointing and logging.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfmeshes_tpu.config.paths import ExperimentPaths
+from nerfmeshes_tpu.data.datasets import DatasetType, RayDataset, build_dataset
+from nerfmeshes_tpu.models import build_model
+from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
+from nerfmeshes_tpu.train.checkpoint import CheckpointManager
+from nerfmeshes_tpu.train.optim import build_optimizer
+from nerfmeshes_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_render_chunk,
+    make_train_step,
+    render_image,
+)
+from nerfmeshes_tpu.utils.logging import MetricsLogger
+
+
+def compute_dtype_from_cfg(cfg):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[
+        str(cfg.experiment.compute_dtype)
+    ]
+
+
+def create_models(cfg):
+    """(coarse, fine|None) from cfg.models.* (reference:
+    src/models/model_nerf.py:10-19)."""
+    dtype = compute_dtype_from_cfg(cfg)
+    coarse = build_model(cfg.models.coarse_type, dict(cfg.models.coarse), dtype=dtype)
+    fine = None
+    if "fine" in cfg.models and cfg.models.use_fine:
+        fine = build_model(cfg.models.fine_type, dict(cfg.models.fine), dtype=dtype)
+    return coarse, fine
+
+
+def init_params(cfg, coarse, fine, key: jax.Array):
+    pts = jnp.zeros((2, 2, 3), jnp.float32)
+    k1, k2 = jax.random.split(key)
+    params = {"coarse": coarse.init(k1, pts, pts)}
+    params["fine"] = fine.init(k2, pts, pts) if fine is not None else {}
+    return params
+
+
+class NeRFSystem:
+    """Owns models/params/optimizer and the train/eval functions."""
+
+    def __init__(self, cfg, paths: Optional[ExperimentPaths] = None, mesh=None):
+        self.cfg = cfg
+        self.paths = paths
+        self.mesh = mesh
+        self.coarse, self.fine = create_models(cfg)
+        self.optimizer = build_optimizer(cfg)
+
+        seed = int(cfg.experiment.randomseed)
+        params = init_params(self.cfg, self.coarse, self.fine, jax.random.key(seed))
+        self.state = init_train_state(params, self.optimizer, seed)
+
+        self.train_dataset: Optional[RayDataset] = None
+        self.val_dataset: Optional[RayDataset] = None
+        self._train_fn = None
+        self._render_chunk = None
+        self._data = None
+
+        self.logger = (
+            MetricsLogger(str(paths.events_dir), use_acronyms=cfg.logging.use_acronyms)
+            if paths is not None
+            else None
+        )
+        self.ckpt = (
+            CheckpointManager(str(paths.checkpoint_dir)) if paths is not None else None
+        )
+
+    # -- setup ---------------------------------------------------------------
+    def setup(self, train_dataset=None, val_dataset=None):
+        self.train_dataset = train_dataset or build_dataset(self.cfg, DatasetType.TRAIN)
+        self.val_dataset = val_dataset or build_dataset(self.cfg, DatasetType.VALIDATION)
+
+        H, W, focal = self.train_dataset.hwf
+        self._data = self.train_dataset.device_arrays()
+        self._train_fn = make_train_step(
+            self.cfg,
+            self.coarse,
+            self.fine,
+            self.optimizer,
+            H=int(H),
+            W=int(W),
+            focal=float(focal),
+            mesh=self.mesh,
+        )
+        self._render_chunk = make_render_chunk(self.cfg, self.coarse, self.fine)
+        return self
+
+    # -- queries ------------------------------------------------------------------
+    def query_rays(self, origins, directions, near, far, chunk: Optional[int] = None):
+        """Render arbitrary rays with the finest model (validation settings);
+        analog of NeRFModel.query (src/models/model_nerf.py:80-86)."""
+        chunk = chunk or int(self.cfg.nerf.validation.chunksize)
+        coarse, fine = render_image(
+            self._render_chunk,
+            self.state.params,
+            origins,
+            directions,
+            float(near),
+            float(far),
+            chunk_size=chunk,
+        )
+        return fine if fine is not None else coarse
+
+    def sample_points(self, points, directions=None):
+        """Point-query of the finest field (mesh extraction path; analog of
+        BaseModel.sample_points, src/models/model_base.py:65-73)."""
+        model = self.fine if self.fine is not None else self.coarse
+        params = (
+            self.state.params["fine"]
+            if self.fine is not None
+            else self.state.params["coarse"]
+        )
+        out = model.apply(params, points, directions)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out
+
+    # -- validation -----------------------------------------------------------------
+    def validate(self, max_images: Optional[int] = None, log_images: bool = True) -> dict:
+        cfg_val = self.cfg.nerf.validation
+        num = cfg_val.num_samples if max_images is None else max_images
+        n_total = len(self.val_dataset)
+        if num == -1 or num is None:
+            indices = range(n_total)
+        else:
+            indices = np.random.default_rng(0).integers(0, n_total, size=max(1, min(num, n_total)))
+
+        H, W, _ = self.val_dataset.hwf
+        losses, fine_losses = [], []
+        for i, idx in enumerate(indices):
+            bundle = self.val_dataset.image_bundle(int(idx)).to_ray_batch()
+            near, far = np.asarray(bundle.ray_bounds).reshape(-1)[:2]
+            coarse, fine = render_image(
+                self._render_chunk,
+                self.state.params,
+                bundle.ray_origins,
+                bundle.ray_directions,
+                float(near),
+                float(far),
+                chunk_size=int(cfg_val.chunksize),
+            )
+            target = bundle.ray_targets
+            coarse_loss = float(np.mean((coarse.rgb_map - target) ** 2))
+            losses.append(coarse_loss)
+            finest = coarse
+            if fine is not None:
+                fine_loss = float(np.mean((fine.rgb_map - target) ** 2))
+                fine_losses.append(fine_loss)
+                finest = fine
+            if log_images and self.logger is not None:
+                step = int(self.state.step)
+                self.logger.log_image(
+                    f"validation/rgb_{'fine' if fine is not None else 'coarse'}/{i}",
+                    finest.rgb_map.reshape(int(H), int(W), 3),
+                    step,
+                )
+                self.logger.log_image(
+                    f"validation/img_target/{i}", target.reshape(int(H), int(W), 3), step
+                )
+
+        coarse_loss = float(np.mean(losses))
+        metrics = {
+            "validation/coarse_loss": coarse_loss,
+            "validation/coarse_psnr": float(mse2psnr(jnp.asarray(coarse_loss))),
+        }
+        loss = coarse_loss
+        if fine_losses:
+            fine_loss = float(np.mean(fine_losses))
+            loss = loss + fine_loss
+            metrics["validation/fine_loss"] = fine_loss
+            metrics["validation/fine_psnr"] = float(mse2psnr(jnp.asarray(fine_loss)))
+        metrics["validation/loss"] = loss
+        return metrics
+
+    # -- fit loop ------------------------------------------------------------------
+    def fit(self, max_steps: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        if self._train_fn is None:
+            self.setup()
+
+        max_steps = max_steps or int(cfg.experiment.train_iters)
+        validate_every = int(cfg.experiment.validate_every)
+        print_every = int(cfg.experiment.print_every)
+        steps_per_call = int(cfg.experiment.steps_per_call)
+
+        last_metrics = {}
+        t0 = time.time()
+        rays_done = 0
+        while int(self.state.step) < max_steps:
+            self.state, metrics = self._train_fn(self.state, self._data)
+            step = int(self.state.step)
+            rays_done += steps_per_call * int(cfg.nerf.train.num_random_rays)
+
+            self._check_early_stopping(metrics, step)
+
+            if step % print_every < steps_per_call or step >= max_steps:
+                host = {k: float(v) for k, v in metrics.items() if k != "train/rgb_sum"}
+                host["train/rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
+                last_metrics = host
+                if self.logger is not None:
+                    self.logger.log_scalars(host, step)
+                    print(self.logger.console_line(host, step), flush=True)
+
+            if validate_every > 0 and (
+                step % validate_every < steps_per_call or step >= max_steps
+            ):
+                val_metrics = self.validate()
+                last_metrics.update(val_metrics)
+                if self.logger is not None:
+                    self.logger.log_scalars(val_metrics, step)
+                    print(self.logger.console_line(val_metrics, step), flush=True)
+                if self.ckpt is not None:
+                    self.ckpt.save(
+                        self.state,
+                        val_loss=val_metrics["validation/loss"],
+                        extra=self.checkpoint_extra(),
+                    )
+        return last_metrics
+
+    def checkpoint_extra(self) -> dict:
+        return {}
+
+    def _check_early_stopping(self, metrics, step: int):
+        """Abort on color collapse at the configured step (reference:
+        src/models/model_base.py:179-187)."""
+        exp = self.cfg.experiment
+        if not exp.use_early_stopping:
+            return
+        if abs(step - int(exp.early_stopping_step)) < int(exp.steps_per_call):
+            rgb_sum = float(metrics["train/rgb_sum"])
+            if rgb_sum < 1e-12:
+                print(
+                    f"Model is stuck in local minima, collapsing to {rgb_sum}; exiting.",
+                    flush=True,
+                )
+                sys.exit(-1)
+
+    # -- persistence -----------------------------------------------------------------
+    def save(self, val_loss: Optional[float] = None):
+        self.ckpt.save(self.state, val_loss=val_loss, extra=self.checkpoint_extra())
+
+    def restore(self, step: Optional[int] = None, last: bool = False):
+        self.state, extra = self.ckpt.restore(
+            self.state, step=step, last=last, extra_template=self.checkpoint_extra() or None
+        )
+        self.load_checkpoint_extra(extra)
+        return self
+
+    def load_checkpoint_extra(self, extra: dict):
+        pass

@@ -1,0 +1,214 @@
+"""Numeric parity tests for core ops against the PyTorch reference.
+
+Each test generates random inputs, runs our jnp op and the corresponding
+reference torch module (imported in place from /root/reference, never
+copied), and compares outputs to float32 tolerance.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from nerfmeshes_tpu.ops import (
+    cumprod_exclusive,
+    get_ray_bundle,
+    hierarchical_intervals,
+    intervals_to_ray_points,
+    mse2psnr,
+    ndc_rays,
+    positional_encoding,
+    positional_encoding_output_size,
+    ray_sample_interval,
+    sample_pdf,
+    volume_render,
+)
+
+from refload import ref_modules, ref_nerf_helpers, ref_model_helpers
+
+
+def to_np(x):
+    return np.asarray(x)
+
+
+class SimpleNS:
+    """Tiny attribute bag standing in for a cfg node in reference calls."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def test_cumprod_exclusive(rng):
+    x = rng.uniform(0.1, 1.0, size=(4, 7)).astype(np.float32)
+    expected = np.ones_like(x)
+    expected[:, 1:] = np.cumprod(x, axis=-1)[:, :-1]
+    np.testing.assert_allclose(to_np(cumprod_exclusive(jnp.asarray(x))), expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("log_sampling", [True, False])
+@pytest.mark.parametrize("include_input", [True, False])
+@pytest.mark.parametrize("num_fn", [4, 10])
+def test_positional_encoding_parity(rng, log_sampling, include_input, num_fn):
+    m = ref_modules()
+    x = rng.standard_normal((5, 3)).astype(np.float32)
+    ref = m.PositionalEncoding(num_fn, include_input, log_sampling)
+    expected = ref(torch.from_numpy(x)).numpy()
+    got = to_np(positional_encoding(jnp.asarray(x), num_fn, include_input, log_sampling))
+    assert got.shape[-1] == positional_encoding_output_size(num_fn, include_input)
+    # atol covers float32 ulp amplification of sin/cos at |freq*x| ~ 2^9.
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("lindisp", [False, True])
+@pytest.mark.parametrize("per_ray", [False, True])
+def test_ray_sample_interval_parity(rng, lindisp, per_ray):
+    m = ref_modules()
+    R, S = 6, 16
+    if per_ray:
+        near = rng.uniform(1.0, 2.0, size=(R,)).astype(np.float32)
+        far = rng.uniform(4.0, 6.0, size=(R,)).astype(np.float32)
+        t_near, t_far = torch.from_numpy(near), torch.from_numpy(far)
+    else:
+        near, far = 2.0, 6.0
+        t_near, t_far = torch.tensor(near), torch.tensor(far)
+
+    sampler = m.RaySampleInterval(S)
+    cfg = SimpleNS(lindisp=lindisp, perturb=False)
+    expected = sampler(cfg, R, t_near, t_far).numpy()
+    got = to_np(ray_sample_interval(S, R, near, far, lindisp=lindisp, perturb=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_ray_sample_interval_perturb_bounds():
+    S, R = 32, 8
+    base = to_np(ray_sample_interval(S, R, 2.0, 6.0))
+    key = jax.random.key(0)
+    jittered = to_np(ray_sample_interval(S, R, 2.0, 6.0, perturb=True, key=key))
+    mids = 0.5 * (base[..., 1:] + base[..., :-1])
+    upper = np.concatenate([mids, base[..., -1:]], -1)
+    lower = np.concatenate([base[..., :1], mids], -1)
+    assert (jittered >= lower - 1e-6).all() and (jittered <= upper + 1e-6).all()
+    # Perturbed samples stay sorted because bins don't overlap.
+    assert (np.diff(jittered, axis=-1) >= -1e-6).all()
+
+
+def test_sample_pdf_parity_deterministic(rng):
+    m = ref_modules()
+    R, B, S = 4, 31, 24
+    bins = np.sort(rng.uniform(2.0, 6.0, size=(R, B)).astype(np.float32), axis=-1)
+    weights = rng.uniform(0.0, 1.0, size=(R, B - 1)).astype(np.float32)
+
+    ref = m.SamplePDF(S)
+    expected = ref.sample_pdf(
+        torch.from_numpy(bins), torch.from_numpy(weights), ref.u, det=True
+    ).numpy()
+    got = to_np(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), S, deterministic=True))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_hierarchical_intervals_parity(rng):
+    m = ref_modules()
+    R, Sc, Sf = 5, 16, 24
+    intervals = np.sort(rng.uniform(2.0, 6.0, size=(R, Sc)).astype(np.float32), axis=-1)
+    weights = rng.uniform(0.0, 1.0, size=(R, Sc)).astype(np.float32)
+
+    ref = m.SamplePDF(Sf)
+    expected = ref(torch.from_numpy(intervals), torch.from_numpy(weights), 0.0).numpy()
+    got = to_np(
+        hierarchical_intervals(jnp.asarray(intervals), jnp.asarray(weights), Sf, perturb=False)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("white_background", [False, True])
+@pytest.mark.parametrize("train", [False, True])
+def test_volume_render_parity(rng, white_background, train):
+    m = ref_modules()
+    R, S = 8, 16
+    radiance = rng.standard_normal((R, S, 4)).astype(np.float32)
+    radiance[..., :3] = 1.0 / (1.0 + np.exp(-radiance[..., :3]))  # rgb in [0,1]
+    z = np.sort(rng.uniform(2.0, 6.0, size=(R, S)).astype(np.float32), axis=-1)
+    dirs = rng.standard_normal((R, 3)).astype(np.float32)
+
+    ref = m.VolumeRenderer(0.0, 0.0, white_background, attenuation_threshold=1e-5)
+    ref.train(train)
+    bundle = ref(torch.from_numpy(radiance), torch.from_numpy(z), torch.from_numpy(dirs))
+
+    out = volume_render(
+        jnp.asarray(radiance),
+        jnp.asarray(z),
+        jnp.asarray(dirs),
+        train=train,
+        white_background=white_background,
+    )
+    np.testing.assert_allclose(to_np(out.rgb_map), bundle.rgb_map.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(to_np(out.weights), bundle.weights.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(to_np(out.acc_map), bundle.acc_map.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(to_np(out.depth_map), bundle.depth_map.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(to_np(out.disp_map), bundle.disp_map.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        to_np(out.mask_weights), bundle.mask_weights.numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_get_ray_bundle_parity(rng):
+    h = ref_nerf_helpers()
+    H, W, focal = 12, 16, 20.0
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = _random_rotation(rng)
+    pose[:3, 3] = rng.standard_normal(3)
+
+    ref_o, ref_d = h.get_ray_bundle(H, W, focal, torch.from_numpy(pose))
+    origins, dirs = get_ray_bundle(H, W, focal, jnp.asarray(pose))
+    np.testing.assert_allclose(to_np(origins), ref_o.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(to_np(dirs), ref_d.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_get_ray_bundle_batched(rng):
+    H, W, focal = 6, 8, 10.0
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    poses[1, :3, 3] = [1, 2, 3]
+    origins, dirs = get_ray_bundle(H, W, focal, jnp.asarray(poses))
+    assert origins.shape == (3, 3) and dirs.shape == (3, H, W, 3)
+    o0, d0 = get_ray_bundle(H, W, focal, jnp.asarray(poses[1]))
+    np.testing.assert_allclose(to_np(dirs[1]), to_np(d0), rtol=1e-6)
+    np.testing.assert_allclose(to_np(origins[1]), to_np(o0), rtol=1e-6)
+
+
+def test_ndc_rays_parity(rng):
+    h = ref_nerf_helpers()
+    H, W, focal, near = 10, 14, 15.0, 1.0
+    rays_o = rng.standard_normal((7, 3)).astype(np.float32)
+    rays_d = rng.standard_normal((7, 3)).astype(np.float32)
+    rays_d[:, 2] = -np.abs(rays_d[:, 2]) - 0.5  # forward-facing
+    rays_o[:, 2] = -np.abs(rays_o[:, 2]) - 2.0
+
+    ref_o, ref_d = h.ndc_rays(H, W, focal, near, torch.from_numpy(rays_o), torch.from_numpy(rays_d))
+    o, d = ndc_rays(H, W, focal, near, jnp.asarray(rays_o), jnp.asarray(rays_d))
+    np.testing.assert_allclose(to_np(o), ref_o.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(to_np(d), ref_d.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_intervals_to_ray_points_parity(rng):
+    mh = ref_model_helpers()
+    R, S = 5, 9
+    intervals = rng.uniform(2, 6, size=(R, S)).astype(np.float32)
+    dirs = rng.standard_normal((R, 3)).astype(np.float32)
+    origins = rng.standard_normal((3,)).astype(np.float32)
+    expected = mh.intervals_to_ray_points(
+        torch.from_numpy(intervals), torch.from_numpy(dirs), torch.from_numpy(origins)
+    ).numpy()
+    got = to_np(intervals_to_ray_points(jnp.asarray(intervals), jnp.asarray(dirs), jnp.asarray(origins)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_mse2psnr():
+    np.testing.assert_allclose(float(mse2psnr(jnp.asarray(0.01))), 20.0, rtol=1e-5)
+    assert np.isfinite(float(mse2psnr(jnp.asarray(0.0))))
+
+
+def _random_rotation(rng):
+    a = rng.standard_normal((3, 3)).astype(np.float32)
+    q, _ = np.linalg.qr(a)
+    return q.astype(np.float32)

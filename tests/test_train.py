@@ -1,0 +1,82 @@
+"""End-to-end training smoke tests on the synthetic analytic scene."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from nerfmeshes_tpu.config import load_config
+from nerfmeshes_tpu.config.paths import ExperimentPaths
+from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+from nerfmeshes_tpu.train.system import NeRFSystem
+
+TINY = "/root/repo/configs/tiny.yml"
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return load_config(TINY)
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_cfg, tmp_path_factory):
+    """Train the tiny system once; several tests inspect the result."""
+    paths = ExperimentPaths(tmp_path_factory.mktemp("run")).create()
+    system = NeRFSystem(tiny_cfg, paths)
+    train_ds = SyntheticDataset(tiny_cfg, DatasetType.TRAIN, num_images=6, image_size=24)
+    val_ds = SyntheticDataset(tiny_cfg, DatasetType.VALIDATION, num_images=2, image_size=24)
+    system.setup(train_ds, val_ds)
+
+    first = system.validate(log_images=False)
+    metrics = system.fit()
+    last = system.validate(log_images=False)
+    return system, first, metrics, last
+
+
+def test_loss_decreases(trained):
+    _, first, _, last = trained
+    assert last["validation/loss"] < first["validation/loss"] * 0.7, (
+        f"val loss {first['validation/loss']:.4f} -> {last['validation/loss']:.4f}"
+    )
+
+
+def test_psnr_reasonable(trained):
+    _, _, _, last = trained
+    assert last["validation/coarse_psnr"] > 12.0
+
+
+def test_step_counter_advances(trained):
+    system, _, metrics, _ = trained
+    assert int(system.state.step) == system.cfg.experiment.train_iters
+    assert "train/loss" in metrics
+
+
+def test_checkpoint_roundtrip(trained, tiny_cfg, tmp_path):
+    system, _, _, _ = trained
+    loss_before = system.validate(log_images=False)["validation/loss"]
+    system.save(val_loss=loss_before)
+
+    fresh = NeRFSystem(tiny_cfg, system.paths)
+    fresh.setup(system.train_dataset, system.val_dataset)
+    fresh.restore(last=True)
+    assert int(fresh.state.step) == int(system.state.step)
+    np.testing.assert_allclose(
+        fresh.validate(log_images=False)["validation/loss"], loss_before, rtol=1e-5
+    )
+
+
+def test_query_rays_shapes(trained):
+    system, _, _, _ = trained
+    bundle = system.val_dataset.image_bundle(0).to_ray_batch()
+    out = system.query_rays(
+        bundle.ray_origins, bundle.ray_directions, 2.0, 6.0, chunk=512
+    )
+    H, W, _ = system.val_dataset.hwf
+    assert out.rgb_map.shape == (int(H) * int(W), 3)
+    assert np.isfinite(out.rgb_map).all()
+
+
+def test_sample_points(trained):
+    system, _, _, _ = trained
+    pts = jnp.zeros((5, 3))
+    out = system.sample_points(pts, pts)
+    assert out.shape == (5, 4)
