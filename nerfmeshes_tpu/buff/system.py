@@ -1,0 +1,290 @@
+"""BuFFSystem — training system for unstructured radiance volumes.
+
+The analog of the reference's BuFFModel (src/models/model_buff.py): a
+single radiance field whose depth samples come from the adaptive AABB tree
+where rays hit active voxels (stratified fallback elsewhere), with rendered
+weights integrated back into the tree each step and periodic host-side
+consolidation.
+
+The jitted step threads the functional TreeState (voxels/active are
+constants per consolidation epoch; memm/counter update on device), so
+training stays a single XLA program between consolidations.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfmeshes_tpu.buff.tree import (
+    TreeSampling,
+    TreeState,
+    integrate,
+    ray_voxel_intersect,
+)
+from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
+from nerfmeshes_tpu.ops.rays import intervals_to_ray_points
+from nerfmeshes_tpu.ops.render import volume_render
+from nerfmeshes_tpu.ops.sampling import ray_sample_interval
+from nerfmeshes_tpu.train.render import RenderSettings
+from nerfmeshes_tpu.train.step import TrainState, _sample_ray_batch
+from nerfmeshes_tpu.train.system import NeRFSystem
+
+
+def buff_render_rays(
+    model,
+    params,
+    tree_state: TreeState,
+    origins,
+    directions,
+    near,
+    far,
+    settings: RenderSettings,
+    *,
+    train: bool,
+    use_random_sampling: bool,
+    key: Optional[jax.Array] = None,
+):
+    """Tree-sampled render of a ray batch (reference: BuFFModel.forward,
+    src/models/model_buff.py:34-69). Returns (bundle, voxel_idx, ray_mask)."""
+    R = directions.shape[0]
+    if key is None:
+        key = jax.random.key(0)
+    k_perturb, k_vox, k_noise = jax.random.split(key, 3)
+
+    origins_b = jnp.broadcast_to(jnp.reshape(origins, (-1, 3)), (R, 3))
+    stratified = ray_sample_interval(
+        settings.num_coarse,
+        R,
+        near,
+        far,
+        lindisp=settings.lindisp,
+        perturb=settings.perturb and train,
+        key=k_perturb,
+    )
+    z_tree, voxel_idx, ray_mask = ray_voxel_intersect(
+        tree_state.voxels,
+        tree_state.active,
+        origins_b,
+        directions,
+        near,
+        far,
+        samples_count=settings.num_coarse,
+        use_random_sampling=use_random_sampling,
+        key=k_vox,
+    )
+    intervals = jnp.where(ray_mask[:, None], z_tree, stratified)
+
+    points = intervals_to_ray_points(intervals, directions, origins_b)
+    dirs = jnp.broadcast_to(directions[..., None, :], points.shape)
+    field = model.apply(params, points, dirs)
+    if isinstance(field, tuple):
+        field = field[0]
+    bundle = volume_render(
+        field,
+        intervals,
+        directions,
+        train=train,
+        radiance_field_noise_std=settings.radiance_field_noise_std if train else 0.0,
+        white_background=settings.white_background,
+        attenuation_threshold=settings.attenuation_threshold,
+        key=k_noise,
+    )
+    return bundle, voxel_idx, ray_mask
+
+
+class BuffCarry(NamedTuple):
+    train: TrainState
+    tree: TreeState
+
+
+def make_buff_train_step(
+    cfg,
+    model,
+    optimizer: optax.GradientTransformation,
+    *,
+    H: int,
+    W: int,
+    focal: float,
+    mesh=None,
+    steps_per_call: Optional[int] = None,
+    donate: bool = True,
+):
+    """Jitted BuFF train step: sample rays -> tree-sampled render -> MSE ->
+    update; then (past the integration offset) fold weights into the tree."""
+    settings = RenderSettings.from_cfg(cfg, train=True)
+    num_rays = int(cfg.nerf.train.num_random_rays)
+    use_ndc = bool(cfg.dataset.use_ndc)
+    use_random = bool(cfg.tree.use_random_sampling)
+    offset = int(cfg.tree.step_size_integration_offset)
+    if steps_per_call is None:
+        steps_per_call = int(cfg.experiment.steps_per_call)
+
+    from nerfmeshes_tpu.train.optim import build_schedule
+
+    schedule = build_schedule(cfg)
+
+    def loss_fn(params, tree_state, origins, directions, targets, near, far, key):
+        bundle, voxel_idx, ray_mask = buff_render_rays(
+            model,
+            params,
+            tree_state,
+            origins,
+            directions,
+            near,
+            far,
+            settings,
+            train=True,
+            use_random_sampling=use_random,
+            key=key,
+        )
+        loss = img2mse(bundle.rgb_map, targets)
+        aux = {
+            "weights": bundle.weights,
+            "mask_weights": bundle.mask_weights,
+            "voxel_idx": voxel_idx,
+            "ray_mask": ray_mask,
+            "metrics": {
+                "train/loss": loss,
+                "train/psnr": mse2psnr(loss),
+                "train/rgb_sum": jnp.sum(bundle.rgb_map),
+            },
+        }
+        return loss, aux
+
+    def one_step(carry: BuffCarry, data):
+        state, tree_state = carry
+        key, k_sample, k_render = jax.random.split(state.key, 3)
+        origins, directions, targets, near, far = _sample_ray_batch(
+            data, k_sample, H=H, W=W, focal=focal, num_rays=num_rays,
+            use_ndc=use_ndc, mesh=mesh,
+        )
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params["coarse"],
+            tree_state,
+            origins,
+            directions,
+            targets,
+            near,
+            far,
+            k_render,
+        )
+        updates, opt_state = optimizer.update(
+            {"coarse": grads, "fine": {}}, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        # Ray-batch integration once the scene has begun to resolve
+        # (reference: tree.py:185-188 gates on the offset).
+        tree_state = jax.lax.cond(
+            state.step >= offset,
+            lambda ts: integrate(
+                ts,
+                aux["voxel_idx"],
+                jax.lax.stop_gradient(aux["weights"]),
+                jax.lax.stop_gradient(aux["mask_weights"]),
+                aux["ray_mask"],
+            ),
+            lambda ts: ts,
+            tree_state,
+        )
+
+        metrics = dict(aux["metrics"])
+        metrics["train/lr"] = schedule(state.step)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        return BuffCarry(new_state, tree_state), metrics
+
+    def multi_step(carry: BuffCarry, data):
+        if steps_per_call == 1:
+            return one_step(carry, data)
+        carry, metrics = jax.lax.scan(
+            lambda c, _: one_step(c, data), carry, None, length=steps_per_call
+        )
+        return carry, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
+class BuFFSystem(NeRFSystem):
+    """NeRFSystem with tree sampling; selected by cfg.experiment.model ==
+    'BuFFModel' (see nerfmeshes_tpu.train.factory.build_system)."""
+
+    def __init__(self, cfg, paths=None, mesh=None):
+        # BuFF uses a single model: disable the fine network regardless of
+        # cfg.models.use_fine (the reference's BuFFModel builds only
+        # cfg.models.coarse, src/models/model_buff.py:17).
+        cfg = cfg.clone() if hasattr(cfg, "clone") else cfg
+        cfg.models.use_fine = False
+        super().__init__(cfg, paths, mesh)
+        self.tree = TreeSampling(cfg)
+        self.tree_state = self.tree.device_state()
+
+    def setup(self, train_dataset=None, val_dataset=None):
+        super().setup(train_dataset, val_dataset)
+        H, W, focal = self.train_dataset.hwf
+        buff_fn = make_buff_train_step(
+            self.cfg,
+            self.coarse,
+            self.optimizer,
+            H=int(H),
+            W=int(W),
+            focal=float(focal),
+            mesh=self.mesh,
+        )
+
+        def train_fn(state, data):
+            carry, metrics = buff_fn(BuffCarry(state, self.tree_state), data)
+            self.tree_state = carry.tree
+            return carry.train, metrics
+
+        self._train_fn = train_fn
+
+        # Validation/query path renders through the tree as well. The tree
+        # state is passed per call (a jit-closure capture would go stale
+        # after consolidation).
+        settings = RenderSettings.from_cfg(self.cfg, train=False)
+        use_random = bool(self.cfg.tree.use_random_sampling)
+
+        @jax.jit
+        def render_chunk_with_tree(params, tree_state, origins, directions, near, far):
+            bundle, _, _ = buff_render_rays(
+                self.coarse,
+                params["coarse"],
+                tree_state,
+                origins,
+                directions,
+                near,
+                far,
+                settings,
+                train=False,
+                use_random_sampling=use_random,
+            )
+            return bundle, None
+
+        self._render_chunk = lambda params, o, d, near, far: render_chunk_with_tree(
+            params, self.tree_state, o, d, near, far
+        )
+        return self
+
+    def on_step(self, step: int) -> None:
+        spc = int(self.cfg.experiment.steps_per_call)
+        # Fire when a consolidation boundary fell inside this jitted call.
+        boundary = self.tree.integration_offset + self.tree.step_size_tree
+        if step >= boundary:
+            cur = step - self.tree.integration_offset
+            if cur % self.tree.step_size_tree < spc:
+                memm = np.asarray(self.tree_state.memm)
+                self.tree_state = self.tree.consolidate(memm)
+
+    def checkpoint_extra(self) -> dict:
+        return {"tree": self.tree.serialize(self.tree_state)}
+
+    def load_checkpoint_extra(self, extra: dict) -> None:
+        if "tree" in extra:
+            self.tree_state = self.tree.deserialize(extra["tree"])

@@ -1,0 +1,364 @@
+"""BuFF unstructured radiance volumes: adaptive AABB voxel tree sampling.
+
+TPU redesign of the reference's TreeSampling (src/nerf/tree.py:39-358):
+
+- The voxel set lives in FIXED-CAPACITY padded arrays (`max_voxel_count`
+  rows; inactive rows carry far-away degenerate boxes) so every device op
+  has static shapes and stays inside one jitted train step.
+- `ray_voxel_intersect` is a vectorized R x V slab test + the reference's
+  deterministic chord-length-proportional sampler (sort / cumsum /
+  searchsorted — all XLA-native) or multinomial random sampling.
+- `integrate` folds rendered weights back into the per-voxel running mean
+  (`memm`) with segment sums; memm/counter are functional device state.
+- Consolidation (prune + best-first subdivide, every `step_size_tree`
+  steps) runs on host over a flat leaf list and re-uploads fresh padded
+  arrays — the only host round-trip, at 1/6000 step frequency.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Inactive-row sentinel: a degenerate box far outside any scene so the slab
+# test can never pass the near/far cap.
+_PAD_LO = 1e8
+_PAD_HI = 1e8 + 1.0
+
+
+@dataclass
+class Leaf:
+    """One leaf cell of the subdivision tree (host side)."""
+
+    lo: np.ndarray  # (3,)
+    hi: np.ndarray  # (3,)
+    depth: int
+
+
+class TreeState(NamedTuple):
+    """Device-side functional state threaded through the train step."""
+
+    voxels: jnp.ndarray  # (MAX_V, 2, 3) AABB bounds
+    active: jnp.ndarray  # (MAX_V,) bool
+    memm: jnp.ndarray  # (MAX_V,) running mean weight
+    counter: jnp.ndarray  # () int32 integration count
+
+
+class TreeSampling:
+    """Host-side controller owning the leaf list + consolidation schedule."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        tree_cfg = cfg.tree
+        self.max_voxels = int(tree_cfg.max_voxel_count)
+        self.eps = float(tree_cfg.eps)
+        self.max_depth = int(tree_cfg.max_depth)
+        self.outer_count = int(tree_cfg.subdivision_outer_count)
+        self.inner_count = int(tree_cfg.subdivision_inner_count)
+        self.use_random_sampling = bool(tree_cfg.use_random_sampling)
+        self.step_size_tree = int(tree_cfg.step_size_tree)
+        self.integration_offset = int(tree_cfg.step_size_integration_offset)
+
+        near, far = float(cfg.dataset.near), float(cfg.dataset.far)
+        mean = (near + far) / 2.0
+        lo = np.full(3, near - mean, np.float32)
+        hi = np.full(3, far - mean, np.float32)
+
+        # Root subdivision: outer_count^3 cells at depth 1
+        # (reference: Node.__init__/subdivide, tree.py:4-33, 81-92).
+        self.leaves: List[Leaf] = _subdivide(Leaf(lo, hi, 0), self.outer_count)
+        self._last_memm: Optional[np.ndarray] = None
+
+    # -- schedule -------------------------------------------------------------
+    def ticked(self, step: int) -> bool:
+        """Consolidation cadence (reference: tree.py:94-102)."""
+        if step > self.integration_offset:
+            cur = step - self.integration_offset
+            return cur > 0 and cur % self.step_size_tree == 0
+        return False
+
+    def integration_active(self, step: int) -> bool:
+        return step >= self.integration_offset
+
+    # -- padded device state --------------------------------------------------
+    def device_state(self) -> TreeState:
+        V = len(self.leaves)
+        assert V <= self.max_voxels, f"{V} leaves exceed capacity {self.max_voxels}"
+        voxels = np.stack(
+            [np.stack([l.lo, l.hi]) for l in self.leaves]
+        ).astype(np.float32)
+        pad = self.max_voxels - V
+        if pad:
+            pad_box = np.stack(
+                [np.full((3,), _PAD_LO, np.float32), np.full((3,), _PAD_HI, np.float32)]
+            )
+            voxels = np.concatenate([voxels, np.tile(pad_box, (pad, 1, 1))])
+        active = np.zeros(self.max_voxels, bool)
+        active[:V] = True
+        return TreeState(
+            voxels=jnp.asarray(voxels),
+            active=jnp.asarray(active),
+            memm=jnp.zeros(self.max_voxels, jnp.float32),
+            counter=jnp.ones((), jnp.int32),
+        )
+
+    # -- consolidation (host) -----------------------------------------------------
+    def consolidate(self, memm: np.ndarray) -> TreeState:
+        """Prune weak voxels, subdivide strong ones best-first under the
+        capacity cap, reset integration state (reference: tree.py:127-175)."""
+        memm = np.asarray(memm)[: len(self.leaves)]
+        keep = memm > self.eps
+        kept = [self.leaves[i] for i in np.nonzero(keep)[0]]
+        inv_w = (1.0 - memm[keep]).tolist()
+
+        # Shallow + heavy first.
+        order = sorted(range(len(kept)), key=lambda i: (kept[i].depth, inv_w[i]))
+        kept = [kept[i] for i in order]
+
+        inner_size = self.inner_count**3 - 1
+        current = len(kept)
+        children: List[Leaf] = []
+        for index, leaf in enumerate(kept):
+            projected = len(children) + inner_size + current - index
+            if projected < self.max_voxels and leaf.depth < self.max_depth:
+                children.extend(_subdivide(leaf, self.inner_count))
+            else:
+                children.append(leaf)
+
+        if not children:
+            raise RuntimeError(
+                f"Tree pruning removed every voxel (eps={self.eps} too high)"
+            )
+        self.leaves = children
+        return self.device_state()
+
+    # -- checkpoint (reference: tree.py:345-358) -----------------------------------
+    def serialize(self, state: TreeState) -> dict:
+        """Leaf arrays padded to capacity so the checkpoint tree has stable
+        shapes across consolidations (orbax restores by template)."""
+        V = len(self.leaves)
+        lo = np.full((self.max_voxels, 3), _PAD_LO, np.float32)
+        hi = np.full((self.max_voxels, 3), _PAD_HI, np.float32)
+        depth = np.zeros((self.max_voxels,), np.int32)
+        lo[:V] = np.stack([l.lo for l in self.leaves])
+        hi[:V] = np.stack([l.hi for l in self.leaves])
+        depth[:V] = [l.depth for l in self.leaves]
+        return {
+            "leaf_lo": lo,
+            "leaf_hi": hi,
+            "leaf_depth": depth,
+            "memm": np.asarray(state.memm),
+            "counter": np.asarray(state.counter),
+            "num_leaves": np.asarray(V, np.int32),
+        }
+
+    def deserialize(self, data: dict) -> TreeState:
+        V = int(data["num_leaves"])
+        self.leaves = [
+            Leaf(
+                np.asarray(data["leaf_lo"][i], np.float32),
+                np.asarray(data["leaf_hi"][i], np.float32),
+                int(data["leaf_depth"][i]),
+            )
+            for i in range(V)
+        ]
+        state = self.device_state()
+        return state._replace(
+            memm=jnp.asarray(data["memm"]),
+            counter=jnp.asarray(data["counter"], jnp.int32),
+        )
+
+
+def _subdivide(leaf: Leaf, count: int) -> List[Leaf]:
+    """Uniform count^3 split (reference: Node.subdivide, tree.py:19-33)."""
+    offset = leaf.hi - leaf.lo
+    out = []
+    for i in range(count):
+        for g in range(count):
+            for h in range(count):
+                ind1 = np.array([i, g, h], np.float32) / count * offset
+                ind2 = np.array([i + 1, g + 1, h + 1], np.float32) / count * offset
+                out.append(Leaf(leaf.lo + ind1, leaf.lo + ind2, leaf.depth + 1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device ops (jitted, static shapes)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("samples_count", "use_random_sampling"))
+def ray_voxel_intersect(
+    voxels: jnp.ndarray,
+    active: jnp.ndarray,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    near,
+    far,
+    *,
+    samples_count: int,
+    use_random_sampling: bool = False,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batch ray/AABB intersection + per-ray depth sampling.
+
+    voxels: (V, 2, 3); origins: (R, 3) or (3,); dirs: (R, 3).
+    Returns (z_vals (R,S), voxel_indices (R,S), ray_mask (R,)) with samples
+    sorted by depth — semantics of the reference's
+    batch_ray_voxel_intersect (src/nerf/tree.py:215-343).
+    """
+    R = dirs.shape[0]
+    origins = jnp.broadcast_to(jnp.reshape(origins, (-1, 3)), (R, 3))
+
+    inv_d = 1.0 / dirs  # (R, 3); +-inf on zero components is fine for slabs
+    lo = voxels[:, 0, :]  # (V, 3)
+    hi = voxels[:, 1, :]
+
+    # Entry/exit per axis with sign-aware bound selection.
+    t_lo = (lo[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]  # (R,V,3)
+    t_hi = (hi[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]
+    neg = inv_d < 0.0  # (R, 3)
+    tvmin = jnp.where(neg[:, None, :], t_hi, t_lo)
+    tvmax = jnp.where(neg[:, None, :], t_lo, t_hi)
+
+    # Axis-pair overlap tests in the reference's exact order (x-y, then z).
+    mask = (tvmin[..., 0] <= tvmax[..., 1]) & (tvmin[..., 1] <= tvmax[..., 0])
+    tmin = jnp.maximum(tvmin[..., 0], tvmin[..., 1])
+    tmax = jnp.minimum(tvmax[..., 0], tvmax[..., 1])
+    mask = mask & (tmin <= tvmax[..., 2]) & (tvmin[..., 2] <= tmax)
+    tmin = jnp.maximum(tmin, tvmin[..., 2])
+    tmax = jnp.minimum(tmax, tvmax[..., 2])
+
+    # Whole chord must lie within [near, far] (reference: tree.py:264-268).
+    mask = mask & (tmin >= near) & (tmax <= far) & active[None, :]
+    ray_mask = jnp.sum(mask, axis=-1) > 0
+
+    if use_random_sampling:
+        if key is None:
+            raise ValueError("random voxel sampling requires a key")
+        k_vox, k_t = jax.random.split(key)
+        logits = jnp.where(mask, 0.0, -27.63)  # ~log(1e-12)
+        samples = jax.random.categorical(
+            k_vox, logits[:, None, :], axis=-1, shape=(R, samples_count)
+        )
+        smin = jnp.take_along_axis(tmin, samples, axis=-1)
+        smax = jnp.take_along_axis(tmax, samples, axis=-1)
+        u = jax.random.uniform(k_t, (R, samples_count))
+        z_vals = smin + (smax - smin) * u
+        voxel_idx = samples
+    else:
+        # Deterministic length-proportional sampling (tree.py:298-335):
+        # sort chords by entry t, pack valid ones to the front, distribute
+        # `samples_count` points linearly over the total chord length.
+        order = jnp.argsort(tmin, axis=-1)
+        tmin_s = jnp.take_along_axis(tmin, order, axis=-1)
+        tmax_s = jnp.take_along_axis(tmax, order, axis=-1)
+        mask_s = jnp.take_along_axis(mask, order, axis=-1)
+
+        # Stable "roll valid to front": rank = position among valid entries.
+        valid = mask_s.astype(jnp.int32)
+        rank = jnp.cumsum(valid, axis=-1) - 1  # target slot for each valid chord
+        V = mask.shape[-1]
+        slots = jnp.where(mask_s, rank, V - 1)  # dump invalid at the end
+        res_lo = jnp.zeros_like(tmin_s)
+        res_hi = jnp.zeros_like(tmax_s)
+        # scatter: res[slot] = t for valid chords (invalid writes go to a
+        # slot that valid entries may also claim — mask them out first).
+        res_lo = res_lo.at[
+            jnp.arange(R)[:, None], slots
+        ].set(jnp.where(mask_s, tmin_s, 0.0), mode="drop")
+        res_hi = res_hi.at[
+            jnp.arange(R)[:, None], slots
+        ].set(jnp.where(mask_s, tmax_s, 0.0), mode="drop")
+        num_valid = jnp.sum(valid, axis=-1)  # (R,)
+        # Zero any slot beyond num_valid (an invalid write may have landed).
+        slot_ids = jnp.arange(V)[None, :]
+        in_range = slot_ids < num_valid[:, None]
+        res_lo = jnp.where(in_range, res_lo, 0.0)
+        res_hi = jnp.where(in_range, res_hi, 0.0)
+
+        residuals = res_hi - res_lo
+        cums = jnp.cumsum(residuals, axis=-1)
+        total = cums[..., -1:]
+        samples = jnp.linspace(0.0, 1.0, samples_count)[None, :] * total  # (R,S)
+
+        cross_idx = _searchsorted_left(cums, samples)  # bucket per sample
+        # First sample landing in each bucket (searchsorted of the indices
+        # over themselves, left side), to get intra-chord offsets.
+        first_in_bucket = _searchsorted_left_int(cross_idx, cross_idx)
+        offset = samples - jnp.take_along_axis(samples, first_in_bucket, axis=-1)
+        z_vals = jnp.take_along_axis(res_lo, cross_idx, axis=-1) + offset
+
+        # Map packed slot -> sorted position -> original voxel id
+        # (reference: tree.py:333-335).
+        # inverse of the packing: packed slot s holds the s-th valid sorted chord.
+        sorted_pos = _argsort_positions_of_packed(mask_s, V)
+        pos = jnp.take_along_axis(sorted_pos, cross_idx, axis=-1)
+        voxel_idx = jnp.take_along_axis(order, pos, axis=-1)
+
+    # Final ordering by depth (reference: tree.py:337-341).
+    sort_idx = jnp.argsort(z_vals, axis=-1)
+    z_vals = jnp.take_along_axis(z_vals, sort_idx, axis=-1)
+    voxel_idx = jnp.take_along_axis(voxel_idx, sort_idx, axis=-1)
+    return z_vals, voxel_idx, ray_mask
+
+
+def _searchsorted_left(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """Batched searchsorted(side='left') via comparison contraction."""
+    return jnp.sum(
+        (sorted_seq[..., None, :] < values[..., :, None]).astype(jnp.int32), axis=-1
+    )
+
+
+def _searchsorted_left_int(seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(
+        (seq[..., None, :] < values[..., :, None]).astype(jnp.int32), axis=-1
+    )
+
+
+def _argsort_positions_of_packed(mask_s: jnp.ndarray, V: int) -> jnp.ndarray:
+    """For each packed slot s, the index (into the t-sorted chord list) of
+    the s-th valid chord. Positions past the valid count point at the last
+    column (harmless: those samples belong to masked rays)."""
+    R = mask_s.shape[0]
+    idx = jnp.arange(V)[None, :].repeat(R, axis=0)
+    rank = jnp.cumsum(mask_s.astype(jnp.int32), axis=-1) - 1
+    slots = jnp.where(mask_s, rank, V - 1)
+    out = jnp.zeros_like(idx)
+    out = out.at[jnp.arange(R)[:, None], slots].set(
+        jnp.where(mask_s, idx, 0), mode="drop"
+    )
+    return out
+
+
+@jax.jit
+def integrate(
+    state: TreeState,
+    voxel_idx: jnp.ndarray,
+    weights: jnp.ndarray,
+    mask_weights: jnp.ndarray,
+    ray_mask: jnp.ndarray,
+) -> TreeState:
+    """Fold rendered sample weights into the per-voxel running mean
+    (reference: ray_batch_integration, src/nerf/tree.py:177-206).
+
+    voxel_idx/weights/mask_weights: (R, S); ray_mask: (R,).
+    """
+    V = state.memm.shape[0]
+    rm = ray_mask[:, None].astype(weights.dtype)
+    flat_idx = voxel_idx.reshape(-1)
+    acc = jax.ops.segment_sum(
+        (weights * rm).reshape(-1), flat_idx, num_segments=V
+    )
+    freq = jax.ops.segment_sum(
+        (mask_weights * rm).reshape(-1), flat_idx, num_segments=V
+    )
+    hit = freq > 0
+    delta = jnp.where(hit, acc / jnp.where(hit, freq, 1.0) - state.memm, 0.0)
+    memm = state.memm + delta / state.counter.astype(jnp.float32)
+    return state._replace(memm=memm, counter=state.counter + 1)

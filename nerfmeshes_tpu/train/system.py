@@ -212,6 +212,7 @@ class NeRFSystem:
             step = int(self.state.step)
             rays_done += steps_per_call * int(cfg.nerf.train.num_random_rays)
 
+            self.on_step(step)
             self._check_early_stopping(metrics, step)
 
             if step % print_every < steps_per_call or step >= max_steps:
@@ -237,6 +238,10 @@ class NeRFSystem:
                         extra=self.checkpoint_extra(),
                     )
         return last_metrics
+
+    def on_step(self, step: int) -> None:
+        """Hook called after every jitted multi-step call (subclasses:
+        BuFF tree consolidation)."""
 
     def checkpoint_extra(self) -> dict:
         return {}

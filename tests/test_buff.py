@@ -1,0 +1,251 @@
+"""BuFF tree tests: parity with the reference TreeSampling (imported in
+place from /root/reference) plus brute-force property checks and an
+end-to-end training smoke test."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from nerfmeshes_tpu.buff.tree import (
+    TreeSampling,
+    integrate,
+    ray_voxel_intersect,
+)
+from nerfmeshes_tpu.config import get_default_cfg
+
+from refload import ref_tree
+
+
+class NS:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def small_cfg(**tree_overrides):
+    cfg = get_default_cfg()
+    cfg.tree.subdivision_outer_count = 4
+    cfg.tree.max_voxel_count = 256
+    cfg.tree.step_size_integration_offset = 10
+    cfg.tree.step_size_tree = 20
+    cfg.dataset.near = 2.0
+    cfg.dataset.far = 6.0
+    for k, v in tree_overrides.items():
+        setattr(cfg.tree, k, v)
+    return cfg
+
+
+def ref_config(cfg):
+    """Minimal attribute-bag config for the reference TreeSampling."""
+    return NS(
+        tree=NS(**dict(cfg.tree)),
+        dataset=NS(near=cfg.dataset.near, far=cfg.dataset.far),
+    )
+
+
+@pytest.fixture(scope="module")
+def rays():
+    rng = np.random.default_rng(3)
+    R = 32
+    origins = np.array([[0.0, 0.0, 4.9]], np.float32)  # outside-ish, lego-style
+    dirs = rng.standard_normal((R, 3)).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 1.0  # pointing into the volume
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return origins, dirs
+
+
+def test_initial_voxel_grid_matches_reference():
+    cfg = small_cfg()
+    t = ref_tree()
+    ref = t.TreeSampling(ref_config(cfg), "cpu")
+    ours = TreeSampling(cfg)
+    ref_boxes = ref.voxels.numpy()  # (V, 2, 3)
+    our_state = ours.device_state()
+    V = len(ours.leaves)
+    assert V == ref_boxes.shape[0]
+    our_boxes = np.asarray(our_state.voxels[:V])
+    # Same cell set (order-independent).
+    np.testing.assert_allclose(
+        np.sort(our_boxes.reshape(V, -1), axis=0),
+        np.sort(ref_boxes.reshape(V, -1), axis=0),
+        rtol=1e-6,
+    )
+
+
+def test_intersect_parity_with_reference(rays):
+    cfg = small_cfg()
+    t = ref_tree()
+    ref = t.TreeSampling(ref_config(cfg), "cpu")
+    ours = TreeSampling(cfg)
+    # Force identical voxel ordering by copying the reference's boxes.
+    state = ours.device_state()
+    V = ref.voxels.shape[0]
+    voxels = np.array(state.voxels)  # writable copy
+    voxels[:V] = ref.voxels.numpy()
+    state = state._replace(voxels=jnp.asarray(voxels))
+
+    origins, dirs = rays
+    S = 24
+    ref_z, ref_idx, ref_mask = ref.batch_ray_voxel_intersect(
+        torch.from_numpy(origins), torch.from_numpy(dirs), 2.0, 6.0, samples_count=S
+    )
+    z, idx, mask = ray_voxel_intersect(
+        state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs),
+        2.0, 6.0, samples_count=S,
+    )
+    np.testing.assert_array_equal(np.asarray(mask), ref_mask.numpy())
+    m = ref_mask.numpy()
+    np.testing.assert_allclose(
+        np.asarray(z)[m], ref_z.numpy()[m], rtol=1e-4, atol=1e-5
+    )
+    # NOTE: voxel indices are deliberately NOT compared 1:1. The reference
+    # packs z-values stably but maps indices through torch's *unstable*
+    # descending sort of the 0/1 hit mask (tree.py:306,334), so its samples
+    # are frequently attributed to the wrong (mis-ordered) voxel. Ours are
+    # verified against brute-force chord containment in
+    # test_intersect_properties instead.
+    del ref_idx, idx
+
+
+def test_intersect_properties(rays):
+    cfg = small_cfg()
+    ours = TreeSampling(cfg)
+    state = ours.device_state()
+    origins, dirs = rays
+    S = 16
+    z, idx, mask = ray_voxel_intersect(
+        state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs),
+        2.0, 6.0, samples_count=S,
+    )
+    z, idx, mask = np.asarray(z), np.asarray(idx), np.asarray(mask)
+
+    # Brute-force slab check for ray_mask.
+    boxes = np.asarray(state.voxels)
+    act = np.asarray(state.active)
+    o = np.broadcast_to(origins, dirs.shape)
+    t1 = (boxes[None, :, 0, :] - o[:, None, :]) / dirs[:, None, :]
+    t2 = (boxes[None, :, 1, :] - o[:, None, :]) / dirs[:, None, :]
+    tmin = np.minimum(t1, t2).max(-1)
+    tmax = np.maximum(t1, t2).min(-1)
+    hit = (tmin <= tmax) & (tmin >= 2.0) & (tmax <= 6.0) & act[None, :]
+    np.testing.assert_array_equal(mask, hit.any(-1))
+
+    # Hit rays: samples sorted, within [near, far], inside the claimed voxel.
+    for r in np.nonzero(mask)[0]:
+        assert (np.diff(z[r]) >= -1e-5).all()
+        assert (z[r] >= 2.0 - 1e-4).all() and (z[r] <= 6.0 + 1e-4).all()
+        for s in range(S):
+            v = idx[r, s]
+            assert hit[r, v], f"sample in non-hit voxel ray={r} s={s}"
+            assert tmin[r, v] - 1e-4 <= z[r, s] <= tmax[r, v] + 1e-4
+
+
+def test_integrate_parity(rays):
+    cfg = small_cfg()
+    t = ref_tree()
+    ref = t.TreeSampling(ref_config(cfg), "cpu")
+    ours = TreeSampling(cfg)
+    state = ours.device_state()
+    V = ref.voxels.shape[0]
+
+    rng = np.random.default_rng(0)
+    R, S = 16, 8
+    idx = rng.integers(0, V, size=(R, S))
+    w = rng.uniform(0, 1, size=(R, S)).astype(np.float32)
+    mw = (rng.uniform(size=(R, S)) > 0.3).astype(np.float32)
+    ray_mask = rng.uniform(size=R) > 0.25
+
+    # Reference integrates only masked rays, twice (running mean check).
+    for _ in range(2):
+        ref.ray_batch_integration(
+            10**9,  # past the offset gate
+            torch.from_numpy(idx[ray_mask]),
+            torch.from_numpy(w[ray_mask]),
+            torch.from_numpy(mw[ray_mask]),
+        )
+        state = integrate(
+            state, jnp.asarray(idx), jnp.asarray(w), jnp.asarray(mw),
+            jnp.asarray(ray_mask),
+        )
+    np.testing.assert_allclose(
+        np.asarray(state.memm)[:V], ref.memm.numpy(), rtol=1e-4, atol=1e-6
+    )
+    assert int(state.counter) == ref.counter
+
+
+def test_consolidate_parity():
+    cfg = small_cfg(max_voxel_count=128)
+    t = ref_tree()
+    ref = t.TreeSampling(ref_config(cfg), "cpu")
+    ours = TreeSampling(cfg)
+    V = ref.voxels.shape[0]
+    assert V == len(ours.leaves)
+
+    # Same synthetic memm on both (voxel grids are identically ordered:
+    # verified by test_initial_voxel_grid... but order within differs; use a
+    # memm keyed on voxel position so ordering doesn't matter).
+    def memm_for(boxes):
+        centers = boxes.reshape(-1, 6)
+        return (np.sin(centers.sum(-1)) * 0.5 + 0.5).astype(np.float32)
+
+    ref.memm = torch.from_numpy(memm_for(ref.voxels.numpy()))
+    our_memm = memm_for(np.stack([np.stack([l.lo, l.hi]) for l in ours.leaves]))
+
+    ref.consolidate()
+    new_state = ours.consolidate(our_memm)
+    ref_boxes = ref.voxels.numpy()
+    Vn = len(ours.leaves)
+    assert Vn == ref_boxes.shape[0]
+    our_boxes = np.asarray(new_state.voxels[:Vn])
+    np.testing.assert_allclose(
+        np.sort(our_boxes.reshape(Vn, -1), axis=0),
+        np.sort(ref_boxes.reshape(Vn, -1), axis=0),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    assert int(new_state.counter) == 1
+    assert float(jnp.sum(new_state.memm)) == 0.0
+
+
+def test_buff_training_smoke(tmp_path):
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.config.paths import ExperimentPaths
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.experiment.model = "BuFFModel"
+    cfg.experiment.train_iters = 60
+    cfg.experiment.validate_every = 60
+    cfg.experiment.steps_per_call = 5
+    cfg.tree.subdivision_outer_count = 4
+    cfg.tree.max_voxel_count = 256
+    cfg.tree.step_size_integration_offset = 10
+    cfg.tree.step_size_tree = 20
+    cfg.tree.eps = 1e-6
+
+    paths = ExperimentPaths(tmp_path / "buff").create()
+    system = BuFFSystem(cfg, paths)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=4, image_size=16),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=16),
+    )
+    before = system.validate(log_images=False)["validation/loss"]
+    system.fit()
+    after = system.validate(log_images=False)["validation/loss"]
+    assert int(system.state.step) == 60
+    assert after < before
+    # Consolidation fired at step 30 (offset 10 + tree step 20) and reset
+    # the integration counter.
+    assert int(system.tree_state.counter) < 60
+
+    # Checkpoint roundtrip with tree state.
+    system.save(val_loss=after)
+    fresh = BuFFSystem(cfg, paths)
+    fresh.setup(system.train_dataset, system.val_dataset)
+    fresh.restore(last=True)
+    assert len(fresh.tree.leaves) == len(system.tree.leaves)
+    np.testing.assert_allclose(
+        np.asarray(fresh.tree_state.memm), np.asarray(system.tree_state.memm)
+    )
