@@ -1,0 +1,241 @@
+// Iso-surface extraction via marching tetrahedra (6-tet cube decomposition).
+//
+// Native counterpart of the reference's skimage.measure.marching_cubes call
+// (reference: src/mesh_nerf.py:79). Table-free: each cube is split into six
+// tetrahedra sharing the main diagonal; each tet contributes 0/1/2
+// triangles with vertices linearly interpolated on its edges. Vertices are
+// deduplicated per grid edge, so the mesh is watertight across cells.
+// Vertex normals are the (negated, normalized) central-difference density
+// gradient interpolated at the vertex — matching skimage's convention of
+// normals pointing toward lower density.
+//
+// Exposed C ABI (ctypes):
+//   int64 mt_extract(const float* grid, int nx, int ny, int nz, float iso,
+//                    float** verts, int64* nverts,
+//                    int32** tris,  int64* ntris,
+//                    float** normals);
+//   void  mt_free(void* p);
+//
+// Grid layout: grid[(x*ny + y)*nz + z] (C-order, axis order x,y,z like
+// numpy .reshape(nx,ny,nz)); vertex coordinates are in grid-index space.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cmath>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct V3 {
+    float x, y, z;
+};
+
+// The six tetrahedra of a cube, as corner indices 0..7 where corner bit
+// order is (x<<2 | y<<1 | z). All six share the main diagonal 0-7.
+static const int TETS[6][4] = {
+    {0, 5, 1, 7}, {0, 1, 3, 7}, {0, 3, 2, 7},
+    {0, 2, 6, 7}, {0, 6, 4, 7}, {0, 4, 5, 7},
+};
+
+static const int CORNER_OFF[8][3] = {
+    {0, 0, 0}, {0, 0, 1}, {0, 1, 0}, {0, 1, 1},
+    {1, 0, 0}, {1, 0, 1}, {1, 1, 0}, {1, 1, 1},
+};
+
+struct Extractor {
+    const float* grid;
+    int64_t nx, ny, nz;
+    float iso;
+
+    std::vector<float> verts;    // 3 floats per vertex
+    std::vector<int32_t> tris;   // 3 indices per triangle
+    std::unordered_map<uint64_t, int32_t> edge_cache;
+
+    inline float at(int64_t x, int64_t y, int64_t z) const {
+        return grid[(x * ny + y) * nz + z];
+    }
+
+    inline int64_t lin(int64_t x, int64_t y, int64_t z) const {
+        return (x * ny + y) * nz + z;
+    }
+
+    // Density gradient by central differences (one-sided at borders).
+    inline V3 gradient(int64_t x, int64_t y, int64_t z) const {
+        auto d1 = [](float lo, float hi, float h) { return (hi - lo) / h; };
+        V3 g;
+        g.x = d1(at(x > 0 ? x - 1 : x, y, z), at(x < nx - 1 ? x + 1 : x, y, z),
+                 (x > 0 && x < nx - 1) ? 2.f : 1.f);
+        g.y = d1(at(x, y > 0 ? y - 1 : y, z), at(x, y < ny - 1 ? y + 1 : y, z),
+                 (y > 0 && y < ny - 1) ? 2.f : 1.f);
+        g.z = d1(at(x, y, z > 0 ? z - 1 : z), at(x, y, z < nz - 1 ? z + 1 : z),
+                 (z > 0 && z < nz - 1) ? 2.f : 1.f);
+        return g;
+    }
+
+    // Unique vertex on the grid edge (a, b); returns its index.
+    int32_t edge_vertex(int64_t ax, int64_t ay, int64_t az, float va,
+                        int64_t bx, int64_t by, int64_t bz, float vb) {
+        int64_t la = lin(ax, ay, az), lb = lin(bx, by, bz);
+        if (la > lb) {
+            std::swap(la, lb);
+            std::swap(ax, bx);
+            std::swap(ay, by);
+            std::swap(az, bz);
+            std::swap(va, vb);
+        }
+        uint64_t key = (uint64_t)la * (uint64_t)(nx * ny * nz) + (uint64_t)lb;
+        auto it = edge_cache.find(key);
+        if (it != edge_cache.end()) return it->second;
+
+        float denom = vb - va;
+        float t = std::fabs(denom) < 1e-12f ? 0.5f : (iso - va) / denom;
+        if (t < 0.f) t = 0.f;
+        if (t > 1.f) t = 1.f;
+        int32_t idx = (int32_t)(verts.size() / 3);
+        verts.push_back((float)ax + t * (float)(bx - ax));
+        verts.push_back((float)ay + t * (float)(by - ay));
+        verts.push_back((float)az + t * (float)(bz - az));
+        edge_cache.emplace(key, idx);
+        return idx;
+    }
+
+    void emit(int32_t a, int32_t b, int32_t c) {
+        if (a == b || b == c || a == c) return;  // degenerate
+        tris.push_back(a);
+        tris.push_back(b);
+        tris.push_back(c);
+    }
+
+    void handle_tet(const int64_t cx[8][3], const float cv[8], const int t[4]) {
+        int inside = 0;
+        bool in[4];
+        for (int i = 0; i < 4; ++i) {
+            in[i] = cv[t[i]] > iso;
+            inside += in[i];
+        }
+        if (inside == 0 || inside == 4) return;
+
+        auto ev = [&](int i, int j) {
+            int a = t[i], b = t[j];
+            return edge_vertex(cx[a][0], cx[a][1], cx[a][2], cv[a],
+                               cx[b][0], cx[b][1], cx[b][2], cv[b]);
+        };
+
+        // Find the lone corner (inside==1/3) or the in-pair (inside==2).
+        if (inside == 1 || inside == 3) {
+            bool flag = (inside == 1);
+            int lone = 0;
+            for (int i = 0; i < 4; ++i)
+                if (in[i] == flag) lone = i;
+            int o[3], n = 0;
+            for (int i = 0; i < 4; ++i)
+                if (i != lone) o[n++] = i;
+            int32_t v0 = ev(lone, o[0]);
+            int32_t v1 = ev(lone, o[1]);
+            int32_t v2 = ev(lone, o[2]);
+            emit(v0, v1, v2);
+        } else {  // 2 in / 2 out: quad split into two triangles
+            int a[2], b[2], na = 0, nb = 0;
+            for (int i = 0; i < 4; ++i)
+                (in[i] ? a[na++] : b[nb++]) = i;
+            int32_t v00 = ev(a[0], b[0]);
+            int32_t v01 = ev(a[0], b[1]);
+            int32_t v10 = ev(a[1], b[0]);
+            int32_t v11 = ev(a[1], b[1]);
+            emit(v00, v10, v01);
+            emit(v01, v10, v11);
+        }
+    }
+
+    void run() {
+        int64_t corners_x[8][3];
+        float cv[8];
+        for (int64_t x = 0; x + 1 < nx; ++x)
+            for (int64_t y = 0; y + 1 < ny; ++y)
+                for (int64_t z = 0; z + 1 < nz; ++z) {
+                    bool any_in = false, any_out = false;
+                    for (int c = 0; c < 8; ++c) {
+                        int64_t px = x + CORNER_OFF[c][0];
+                        int64_t py = y + CORNER_OFF[c][1];
+                        int64_t pz = z + CORNER_OFF[c][2];
+                        corners_x[c][0] = px;
+                        corners_x[c][1] = py;
+                        corners_x[c][2] = pz;
+                        cv[c] = at(px, py, pz);
+                        (cv[c] > iso ? any_in : any_out) = true;
+                    }
+                    if (!any_in || !any_out) continue;
+                    for (int t = 0; t < 6; ++t)
+                        handle_tet(corners_x, cv, TETS[t]);
+                }
+    }
+
+    // Per-vertex normals: -grad(density), trilinearly interpolated.
+    std::vector<float> normals() const {
+        std::vector<float> out(verts.size());
+        int64_t n = (int64_t)(verts.size() / 3);
+        for (int64_t i = 0; i < n; ++i) {
+            float fx = verts[3 * i], fy = verts[3 * i + 1], fz = verts[3 * i + 2];
+            int64_t x0 = (int64_t)fx, y0 = (int64_t)fy, z0 = (int64_t)fz;
+            if (x0 >= nx - 1) x0 = nx - 2;
+            if (y0 >= ny - 1) y0 = ny - 2;
+            if (z0 >= nz - 1) z0 = nz - 2;
+            float tx = fx - x0, ty = fy - y0, tz = fz - z0;
+            V3 acc = {0, 0, 0};
+            for (int c = 0; c < 8; ++c) {
+                int dx = CORNER_OFF[c][0], dy = CORNER_OFF[c][1], dz = CORNER_OFF[c][2];
+                float w = (dx ? tx : 1 - tx) * (dy ? ty : 1 - ty) * (dz ? tz : 1 - tz);
+                if (w <= 0.f) continue;
+                V3 g = gradient(x0 + dx, y0 + dy, z0 + dz);
+                acc.x += w * g.x;
+                acc.y += w * g.y;
+                acc.z += w * g.z;
+            }
+            float len = std::sqrt(acc.x * acc.x + acc.y * acc.y + acc.z * acc.z);
+            if (len < 1e-12f) len = 1.f;
+            out[3 * i] = -acc.x / len;
+            out[3 * i + 1] = -acc.y / len;
+            out[3 * i + 2] = -acc.z / len;
+        }
+        return out;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t mt_extract(const float* grid, int64_t nx, int64_t ny, int64_t nz,
+                   float iso, float** out_verts, int64_t* out_nverts,
+                   int32_t** out_tris, int64_t* out_ntris,
+                   float** out_normals) {
+    if (nx < 2 || ny < 2 || nz < 2) return -1;
+    Extractor ex;
+    ex.grid = grid;
+    ex.nx = nx;
+    ex.ny = ny;
+    ex.nz = nz;
+    ex.iso = iso;
+    ex.run();
+
+    int64_t nv = (int64_t)(ex.verts.size() / 3);
+    int64_t nt = (int64_t)(ex.tris.size() / 3);
+    *out_nverts = nv;
+    *out_ntris = nt;
+    *out_verts = (float*)std::malloc(sizeof(float) * ex.verts.size());
+    *out_tris = (int32_t*)std::malloc(sizeof(int32_t) * ex.tris.size());
+    std::memcpy(*out_verts, ex.verts.data(), sizeof(float) * ex.verts.size());
+    std::memcpy(*out_tris, ex.tris.data(), sizeof(int32_t) * ex.tris.size());
+    if (out_normals) {
+        auto nrm = ex.normals();
+        *out_normals = (float*)std::malloc(sizeof(float) * nrm.size());
+        std::memcpy(*out_normals, nrm.data(), sizeof(float) * nrm.size());
+    }
+    return 0;
+}
+
+void mt_free(void* p) { std::free(p); }
+
+}  // extern "C"

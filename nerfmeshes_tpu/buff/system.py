@@ -113,6 +113,7 @@ def make_buff_train_step(
     mesh=None,
     steps_per_call: Optional[int] = None,
     donate: bool = True,
+    intrinsics=None,
 ):
     """Jitted BuFF train step: sample rays -> tree-sampled render -> MSE ->
     update; then (past the integration offset) fold weights into the tree."""
@@ -161,7 +162,7 @@ def make_buff_train_step(
         key, k_sample, k_render = jax.random.split(state.key, 3)
         origins, directions, targets, near, far = _sample_ray_batch(
             data, k_sample, H=H, W=W, focal=focal, num_rays=num_rays,
-            use_ndc=use_ndc, mesh=mesh,
+            use_ndc=use_ndc, mesh=mesh, intrinsics=intrinsics,
         )
         grads, aux = jax.grad(loss_fn, has_aux=True)(
             state.params["coarse"],
@@ -236,6 +237,7 @@ class BuFFSystem(NeRFSystem):
             W=int(W),
             focal=float(focal),
             mesh=self.mesh,
+            intrinsics=self.train_dataset.intrinsics(),
         )
 
         def train_fn(state, data):
@@ -245,6 +247,16 @@ class BuFFSystem(NeRFSystem):
 
         self._train_fn = train_fn
 
+        self._render_chunk = self._build_render_chunk()
+        return self
+
+    def setup_eval(self, val_dataset=None):
+        if val_dataset is not None:
+            self.val_dataset = val_dataset
+        self._render_chunk = self._build_render_chunk()
+        return self
+
+    def _build_render_chunk(self):
         # Validation/query path renders through the tree as well. The tree
         # state is passed per call (a jit-closure capture would go stale
         # after consolidation).
@@ -267,10 +279,9 @@ class BuFFSystem(NeRFSystem):
             )
             return bundle, None
 
-        self._render_chunk = lambda params, o, d, near, far: render_chunk_with_tree(
+        return lambda params, o, d, near, far: render_chunk_with_tree(
             params, self.tree_state, o, d, near, far
         )
-        return self
 
     def on_step(self, step: int) -> None:
         spc = int(self.cfg.experiment.steps_per_call)

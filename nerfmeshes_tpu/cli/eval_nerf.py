@@ -1,0 +1,112 @@
+"""Evaluation CLI (the reference's src/eval_nerf.py, same flag surface):
+renders the TEST split (or 120 synthesized orbit views), reports per-image
+and dataset MSE/PSNR, optionally saves rgb/target/disparity PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Render + evaluate a checkpoint")
+    parser.add_argument("--log-checkpoint", type=str, required=True,
+                        help="Run log dir containing hparams.yaml + checkpoints.")
+    parser.add_argument("--checkpoint", type=str, default="last",
+                        help="'last' or a step number.")
+    parser.add_argument("--save-dir", type=str, default=None,
+                        help="Save images to this directory.")
+    parser.add_argument("--save-images", action="store_true", default=False)
+    parser.add_argument("--save-disparity", action="store_true", default=False)
+    parser.add_argument("--synthesis-images", action="store_true", default=False,
+                        help="Render 120 synthesized orbit poses instead of the test split.")
+    return parser
+
+
+def cast_to_disparity_image(disp: np.ndarray, white_background: bool = False):
+    """Min-max normalized disparity as uint8 (reference:
+    src/nerf/nerf_helpers.py:172-181)."""
+    img = (disp - disp.min()) / max(float(disp.max() - disp.min()), 1e-10)
+    img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    if white_background:
+        img[img == 0] = 255
+    return img
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from nerfmeshes_tpu.config.paths import resolve_paths
+    from nerfmeshes_tpu.data.datasets import DatasetType, build_dataset
+    from nerfmeshes_tpu.ops.math import mse2psnr
+    from nerfmeshes_tpu.train.factory import build_system
+
+    import jax.numpy as jnp
+
+    cfg, paths = resolve_paths(log_checkpoint=args.log_checkpoint)
+    system = build_system(cfg, paths)
+    dataset = build_dataset(cfg, DatasetType.TEST)
+    if args.synthesis_images:
+        dataset.synthesis()
+    system.setup_eval(dataset)
+    system.restore(
+        step=None if args.checkpoint == "last" else int(args.checkpoint),
+        last=args.checkpoint == "last",
+    )
+
+    save_dir = Path(args.save_dir) if args.save_dir else None
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+
+    H, W, _ = dataset.hwf
+    H, W = int(H), int(W)
+    mses = []
+    for idx in range(len(dataset)):
+        bundle = dataset.image_bundle(idx).to_ray_batch()
+        near, far = np.asarray(bundle.ray_bounds).reshape(-1)[:2]
+        out = system.query_rays(
+            bundle.ray_origins, bundle.ray_directions, float(near), float(far)
+        )
+        rgb = np.asarray(out.rgb_map).reshape(H, W, 3)
+
+        line = f"[{idx:03d}]"
+        if bundle.ray_targets is not None:
+            target = np.asarray(bundle.ray_targets).reshape(H, W, 3)
+            mse = float(np.mean((rgb - target) ** 2))
+            mses.append(mse)
+            line += f" mse={mse:.5f} psnr={float(mse2psnr(jnp.asarray(mse))):.2f}"
+        print(line, flush=True)
+
+        if save_dir and (args.save_images or args.synthesis_images):
+            import imageio.v2 as imageio
+
+            imageio.imwrite(
+                save_dir / f"{idx:04d}_rgb.png",
+                (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+            )
+            if bundle.ray_targets is not None:
+                imageio.imwrite(
+                    save_dir / f"{idx:04d}_target.png",
+                    (np.clip(target, 0, 1) * 255).astype(np.uint8),
+                )
+            if args.save_disparity:
+                disp = np.asarray(out.disp_map).reshape(H, W)
+                imageio.imwrite(
+                    save_dir / f"{idx:04d}_disparity.png",
+                    cast_to_disparity_image(disp, cfg.dataset.white_background),
+                )
+
+    if mses:
+        mean_mse = float(np.mean(mses))
+        print(
+            f"dataset: mse={mean_mse:.5f} "
+            f"psnr={float(mse2psnr(jnp.asarray(mean_mse))):.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -96,11 +96,23 @@ class RayDataset:
             return self.synthetic_poses
         return np.asarray(self.bundle.poses)
 
+    def intrinsics(self):
+        """Camera intrinsics/convention for ray generation (subclasses with
+        non-Blender conventions override; ScanNet uses +z and real cx/cy)."""
+        from nerfmeshes_tpu.ops.rays import CameraIntrinsics
+
+        H, W, focal = self.hwf
+        return CameraIntrinsics.from_hwf(int(H), int(W), float(focal))
+
     def image_bundle(self, idx: int) -> DataBundle:
         """One image's rays as a flat ray batch (val/eval path)."""
+        from nerfmeshes_tpu.ops.rays import get_ray_bundle_intrinsics
+
         H, W, focal = self.hwf
         pose = self.poses[idx]
-        origins, directions = get_ray_bundle(int(H), int(W), float(focal), jnp.asarray(pose))
+        origins, directions = get_ray_bundle_intrinsics(
+            int(H), int(W), self.intrinsics(), jnp.asarray(pose)
+        )
         bundle = DataBundle(
             ray_origins=np.asarray(origins),
             ray_directions=np.asarray(directions),

@@ -1,0 +1,89 @@
+"""Mesh file export: OBJ (with vertex colors) and PLY.
+
+OBJ format matches the reference's export_obj
+(src/nerf/nerf_helpers.py:86-111): `v x y z r g b`, `vn`, `f i//i`.
+PLY mirrors the writer that lived in the reference's dead
+mesh_surface_ray.py (export_ply, src/mesh_surface_ray.py:46-58).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def export_obj(vertices, triangles, diffuse, normals, filename: str) -> None:
+    vertices = np.asarray(vertices)
+    triangles = np.asarray(triangles)
+    diffuse = np.asarray(diffuse) if diffuse is not None else np.zeros((0, 3))
+    normals = np.asarray(normals) if normals is not None else np.zeros((0, 3))
+
+    with open(filename, "w") as fh:
+        for index, v in enumerate(vertices):
+            fh.write("v {} {} {}".format(*v))
+            if len(diffuse) > index:
+                fh.write(" {} {} {}".format(*diffuse[index]))
+            fh.write("\n")
+        for n in normals:
+            fh.write("vn {} {} {}\n".format(*n))
+        for f in triangles:
+            fh.write("f")
+            for index in f:
+                fh.write(" {}//{}".format(index + 1, index + 1))
+            fh.write("\n")
+
+
+def import_obj(filename: str):
+    """Minimal OBJ reader (v / vn / f), used for chamfer targets and tests.
+
+    Returns (vertices, triangles, diffuse | None, normals | None)."""
+    verts, colors, normals, faces = [], [], [], []
+    with open(filename) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+                if len(parts) >= 7:
+                    colors.append([float(x) for x in parts[4:7]])
+            elif parts[0] == "vn":
+                normals.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:4]]
+                faces.append(idx)
+    return (
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32),
+        np.asarray(colors, np.float32) if colors else None,
+        np.asarray(normals, np.float32) if normals else None,
+    )
+
+
+def export_ply(vertices, triangles=None, colors=None, normals=None, filename="out.ply"):
+    vertices = np.asarray(vertices)
+    n = len(vertices)
+    has_c = colors is not None
+    has_n = normals is not None
+    tris = np.asarray(triangles) if triangles is not None else np.zeros((0, 3), int)
+
+    with open(filename, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {n}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        if has_n:
+            fh.write("property float nx\nproperty float ny\nproperty float nz\n")
+        if has_c:
+            fh.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        fh.write(f"element face {len(tris)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for i in range(n):
+            row = list(vertices[i])
+            if has_n:
+                row += list(np.asarray(normals)[i])
+            line = " ".join(f"{x}" for x in row)
+            if has_c:
+                c = np.clip(np.asarray(colors)[i] * 255, 0, 255).astype(int)
+                line += " {} {} {}".format(*c)
+            fh.write(line + "\n")
+        for f in tris:
+            fh.write("3 {} {} {}\n".format(*f))

@@ -1,0 +1,194 @@
+"""Mesh extraction: dense sigma-grid evaluation -> iso-surface -> appearance.
+
+TPU rework of the reference's mesh_nerf pipeline (src/mesh_nerf.py:27-201):
+the res^3 radiance grid is evaluated on device in fixed-size jitted tiles
+(no per-1024-point host loop), iso-surface extraction runs in the native
+C++ library, and the inverse-normal appearance pass reuses the jitted
+chunk renderer.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfmeshes_tpu.mesh.native import marching_cubes
+
+
+@dataclass
+class MeshArgs:
+    """Knobs of the reference CLI (src/mesh_nerf.py:204-266)."""
+
+    iso_level: float = 32.0
+    limit: float = 1.2
+    res: int = 128
+    super_sampling: int = 0
+    batch_size: int = 1024
+    no_view_dependence: bool = False
+    view_disparity: float = 1e-2
+    view_disparity_max_bound: float = 4.0
+    use_cached_mesh: bool = False
+    override_cache_mesh: bool = False
+    cache_name: str = "mesh_cache.npz"
+    save_dir: str = "."
+    mesh_name: str = "mesh.obj"
+
+
+def extract_radiance(
+    sample_points_fn,
+    limit: float,
+    nums,
+    *,
+    tile: int = 65536,
+) -> np.ndarray:
+    """Evaluate the radiance field on a dense grid -> (nx, ny, nz, 4).
+
+    sample_points_fn(points (N,3), dirs (N,3)) -> (N,4); jitted once for a
+    fixed tile size, grid streamed through it (reference loops 1024-point
+    batches through the model, src/mesh_nerf.py:27-53 — here the tile is
+    64k points so the MXU stays fed).
+    """
+    if isinstance(nums, int):
+        nums = (nums,) * 3
+    assert len(nums) == 3
+
+    axes = [np.linspace(-limit, limit, n, dtype=np.float32) for n in nums]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+
+    fn = jax.jit(sample_points_fn)
+    out = np.empty((grid.shape[0], 4), np.float32)
+    for start in range(0, grid.shape[0], tile):
+        chunk = grid[start : start + tile]
+        pad = tile - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
+        res = np.asarray(fn(jnp.asarray(chunk), jnp.asarray(chunk)))
+        out[start : start + tile - pad] = res[: tile - pad]
+    return out.reshape(*nums, 4)
+
+
+def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
+    """Adaptive clamp of the iso level into [min+std, max-std]
+    (reference: src/mesh_nerf.py:56-65)."""
+    min_a, max_a, std_a = density.min(), density.max(), density.std()
+    return float(min(max(iso_level, min_a + std_a), max_a - std_a))
+
+
+def extract_geometry(
+    sample_points_fn, args: MeshArgs
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(vertices in world coords, triangles, normals, density grid)
+    (reference: src/mesh_nerf.py:68-92)."""
+    radiance = extract_radiance(sample_points_fn, args.limit, args.res)
+    density = radiance[..., 3]
+    iso_value = extract_iso_level(density, args.iso_level)
+    vertices, triangles, normals = marching_cubes(density, iso_value)
+    # Grid-index -> world coords in (-limit, limit).
+    vertices = args.limit * (vertices / (args.res / 2.0) - 1.0)
+    return vertices.astype(np.float32), triangles, normals, density
+
+
+def extract_geometry_with_super_sampling(
+    sample_points_fn, args: MeshArgs
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Axis-wise super-sampled extraction.
+
+    The reference stubs this path behind a missing third-party module
+    (src/mesh_nerf.py:95-128 raises NotImplementedError); here it works:
+    the grid is evaluated at higher resolution along each axis in turn and
+    the three density grids are averaged after downsampling back, cheaply
+    anti-aliasing the field before extraction.
+    """
+    s = args.super_sampling
+    assert s >= 1
+    base = args.res
+    dense = base + (base - 1) * s
+    acc = np.zeros((base, base, base), np.float32)
+    for axis in range(3):
+        nums = [base, base, base]
+        nums[axis] = dense
+        radiance = extract_radiance(sample_points_fn, args.limit, tuple(nums))
+        density = radiance[..., 3]
+        # Average the super-sampled axis back to base resolution: sample i
+        # covers fine indices [i*(s+1) - s/2, ...]; use strided mean.
+        fine = np.moveaxis(density, axis, 0)
+        groups = fine[: (base - 1) * (s + 1) + 1]
+        idx = np.arange(base) * (s + 1)
+        out = groups[idx]
+        for off in range(1, s + 1):
+            lo = np.clip(idx - off, 0, dense - 1)
+            hi = np.clip(idx + off, 0, dense - 1)
+            out = out + 0.5 * (groups[lo] + groups[hi])
+        out = out / (1 + s)
+        acc += np.moveaxis(out, 0, axis)
+    density = acc / 3.0
+    iso_value = extract_iso_level(density, args.iso_level)
+    vertices, triangles, normals = marching_cubes(density, iso_value)
+    vertices = args.limit * (vertices / (args.res / 2.0) - 1.0)
+    return vertices.astype(np.float32), triangles, normals, density
+
+
+def export_marching_cubes(
+    system,
+    args: MeshArgs,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Full pipeline: geometry (with caching) + appearance + OBJ export
+    (reference: src/mesh_nerf.py:131-201). `system` provides
+    sample_points(points, dirs) and query_rays(origins, dirs, near, far).
+
+    Returns (vertices, triangles, diffuse, normals)."""
+    from nerfmeshes_tpu.mesh.export import export_obj
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    cache_path = Path(args.save_dir) / args.cache_name
+
+    geometry_fn = (
+        extract_geometry_with_super_sampling
+        if args.super_sampling >= 1
+        else extract_geometry
+    )
+
+    if args.use_cached_mesh and cache_path.exists() and not args.override_cache_mesh:
+        data = np.load(cache_path)
+        vertices, triangles, normals = data["vertices"], data["triangles"], data["normals"]
+    else:
+        vertices, triangles, normals, density = geometry_fn(system.sample_points, args)
+        if args.use_cached_mesh or args.override_cache_mesh:
+            np.savez(cache_path, vertices=vertices, triangles=triangles, normals=normals)
+
+    # Appearance: cast along inverse surface normals (src/mesh_nerf.py:161-195).
+    targets, directions = vertices, -normals
+    if args.no_view_dependence:
+        diffuse = _query_diffuse_direct(system, targets, directions, args.batch_size)
+    else:
+        origins = targets - args.view_disparity * directions
+        out = system.query_rays(
+            origins, directions, 0.0, args.view_disparity_max_bound,
+            chunk=args.batch_size,
+        )
+        diffuse = np.asarray(out.rgb_map)
+
+    mesh_path = Path(args.save_dir) / args.mesh_name
+    export_obj(vertices, triangles, diffuse, normals, str(mesh_path))
+    return vertices, triangles, diffuse, normals
+
+
+def _query_diffuse_direct(system, targets, directions, batch_size: int) -> np.ndarray:
+    fn = jax.jit(system.sample_points)
+    out = np.empty((targets.shape[0], 3), np.float32)
+    for start in range(0, targets.shape[0], batch_size):
+        p = targets[start : start + batch_size]
+        d = directions[start : start + batch_size]
+        pad = batch_size - p.shape[0]
+        if pad:
+            p = np.concatenate([p, np.zeros((pad, 3), np.float32)])
+            d = np.concatenate([d, np.zeros((pad, 3), np.float32)])
+        res = np.asarray(fn(jnp.asarray(p), jnp.asarray(d)))
+        out[start : start + batch_size - pad] = res[: batch_size - pad, :3]
+    return out

@@ -1,0 +1,210 @@
+"""ctypes loader/builder for the native mesh library (native/marching.cpp).
+
+Compiles the shared library on first use with g++ -O3 (cached next to the
+source, keyed on source mtime). Falls back to a pure-numpy marching
+tetrahedra if no compiler is available, so the mesh path always works.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "marching.cpp"
+_LIB = _REPO_ROOT / "native" / "build" / "libmarching.so"
+
+_lib_handle: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    if _build_failed:
+        return None
+    try:
+        _LIB.parent.mkdir(parents=True, exist_ok=True)
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                [
+                    "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                    "-std=c++17", str(_SRC), "-o", str(_LIB),
+                ],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_LIB))
+        lib.mt_extract.restype = ctypes.c_int64
+        lib.mt_extract.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ]
+        lib.mt_free.argtypes = [ctypes.c_void_p]
+        return lib
+    except Exception:
+        _build_failed = True
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib_handle
+    if _lib_handle is None:
+        _lib_handle = _build()
+    return _lib_handle
+
+
+def marching_tetrahedra_native(
+    density: np.ndarray, iso: float
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """(verts, tris, normals) in grid-index coords, or None if lib missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    grid = np.ascontiguousarray(density, dtype=np.float32)
+    nx, ny, nz = grid.shape
+
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    tris_p = ctypes.POINTER(ctypes.c_int32)()
+    normals_p = ctypes.POINTER(ctypes.c_float)()
+    nverts = ctypes.c_int64()
+    ntris = ctypes.c_int64()
+
+    rc = lib.mt_extract(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nx, ny, nz, ctypes.c_float(float(iso)),
+        ctypes.byref(verts_p), ctypes.byref(nverts),
+        ctypes.byref(tris_p), ctypes.byref(ntris),
+        ctypes.byref(normals_p),
+    )
+    if rc != 0:
+        return None
+    try:
+        nv, nt = nverts.value, ntris.value
+        verts = np.ctypeslib.as_array(verts_p, shape=(nv * 3,)).reshape(nv, 3).copy()
+        tris = np.ctypeslib.as_array(tris_p, shape=(nt * 3,)).reshape(nt, 3).copy()
+        normals = (
+            np.ctypeslib.as_array(normals_p, shape=(nv * 3,)).reshape(nv, 3).copy()
+        )
+    finally:
+        lib.mt_free(verts_p)
+        lib.mt_free(tris_p)
+        lib.mt_free(normals_p)
+    return verts, tris, normals
+
+
+def marching_tetrahedra_numpy(
+    density: np.ndarray, iso: float
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized numpy fallback with the same 6-tet decomposition.
+
+    Slower and without vertex dedup (verts repeated per triangle); used
+    only when the C++ build is unavailable.
+    """
+    d = np.asarray(density, np.float32)
+    nx, ny, nz = d.shape
+    corner_off = np.array(
+        [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+         [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]]
+    )
+    tets = np.array(
+        [[0, 5, 1, 7], [0, 1, 3, 7], [0, 3, 2, 7],
+         [0, 2, 6, 7], [0, 6, 4, 7], [0, 4, 5, 7]]
+    )
+
+    base = np.stack(
+        np.meshgrid(
+            np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1), indexing="ij"
+        ),
+        -1,
+    ).reshape(-1, 3)  # (C, 3)
+    corners = base[:, None, :] + corner_off[None, :, :]  # (C, 8, 3)
+    vals = d[corners[..., 0], corners[..., 1], corners[..., 2]]  # (C, 8)
+
+    verts_out = []
+    for t in tets:
+        tc = corners[:, t, :].astype(np.float32)  # (C, 4, 3)
+        tv = vals[:, t]  # (C, 4)
+        inside = tv > iso
+        n_in = inside.sum(-1)
+
+        def interp(pa, va, pb, vb):
+            denom = vb - va
+            tt = np.where(np.abs(denom) < 1e-12, 0.5, (iso - va) / np.where(denom == 0, 1, denom))
+            tt = np.clip(tt, 0, 1)[..., None]
+            return pa + tt * (pb - pa)
+
+        for target in (1, 3):
+            sel = n_in == target
+            if not sel.any():
+                continue
+            # The lone corner: inside for n_in==1, outside for n_in==3.
+            ins = inside[sel] == (target == 1)
+            lone = np.argmax(ins, -1)
+            rows = np.arange(sel.sum())
+            oth = np.array([[j for j in range(4) if j != l] for l in lone])
+            pl = tc[sel][rows, lone]
+            vl = tv[sel][rows, lone]
+            tri = [
+                interp(pl, vl, tc[sel][rows, oth[:, k]], tv[sel][rows, oth[:, k]])
+                for k in range(3)
+            ]
+            verts_out.append(np.stack(tri, 1))
+        sel = n_in == 2
+        if sel.any():
+            ins = inside[sel]
+            a_idx = np.stack([np.argmax(ins, -1),
+                              3 - np.argmax(ins[:, ::-1], -1)], -1)
+            # robust: recompute via sorting
+            order = np.argsort(~ins, -1, kind="stable")
+            a0, a1, b0, b1 = order[:, 0], order[:, 1], order[:, 2], order[:, 3]
+            rows = np.arange(sel.sum())
+            sc, sv = tc[sel], tv[sel]
+            v00 = interp(sc[rows, a0], sv[rows, a0], sc[rows, b0], sv[rows, b0])
+            v01 = interp(sc[rows, a0], sv[rows, a0], sc[rows, b1], sv[rows, b1])
+            v10 = interp(sc[rows, a1], sv[rows, a1], sc[rows, b0], sv[rows, b0])
+            v11 = interp(sc[rows, a1], sv[rows, a1], sc[rows, b1], sv[rows, b1])
+            verts_out.append(np.stack([v00, v10, v01], 1))
+            verts_out.append(np.stack([v01, v10, v11], 1))
+
+    if not verts_out:
+        return (
+            np.zeros((0, 3), np.float32),
+            np.zeros((0, 3), np.int32),
+            np.zeros((0, 3), np.float32),
+        )
+    tri_verts = np.concatenate(verts_out, 0)  # (T, 3, 3)
+    verts = tri_verts.reshape(-1, 3)
+    tris = np.arange(verts.shape[0], dtype=np.int32).reshape(-1, 3)
+
+    # Normals from central-difference gradient at nearest grid point.
+    gx, gy, gz = np.gradient(d)
+    vi = np.clip(np.round(verts).astype(int), 0, [nx - 1, ny - 1, nz - 1])
+    g = np.stack(
+        [gx[vi[:, 0], vi[:, 1], vi[:, 2]],
+         gy[vi[:, 0], vi[:, 1], vi[:, 2]],
+         gz[vi[:, 0], vi[:, 1], vi[:, 2]]], -1
+    )
+    norm = np.linalg.norm(g, axis=-1, keepdims=True)
+    normals = -g / np.where(norm < 1e-12, 1.0, norm)
+    return verts.astype(np.float32), tris, normals.astype(np.float32)
+
+
+def marching_cubes(density: np.ndarray, iso: float):
+    """Extract the iso-surface: (verts, tris, normals) in grid-index
+    coordinates (drop-in for the reference's skimage call,
+    src/mesh_nerf.py:79-92)."""
+    out = marching_tetrahedra_native(density, iso)
+    if out is None:
+        out = marching_tetrahedra_numpy(density, iso)
+    return out

@@ -6,9 +6,52 @@ they jit onto the TPU without per-pixel host loops.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+
+
+class CameraIntrinsics(NamedTuple):
+    """Pinhole intrinsics + axis convention for ray generation.
+
+    Blender/LLFF scenes use the OpenGL-style convention (camera looks down
+    -z, y up, centered principal point, normalized directions — the
+    reference's get_ray_bundle); RGB-D streams like ScanNet use +z,
+    image-down y, explicit principal point, unnormalized directions (the
+    reference's dummy_rays_simple_radial, src/data/datasets.py:29-44).
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    z_sign: float = -1.0
+    flip_y: bool = True
+    normalize: bool = True
+
+    @classmethod
+    def from_hwf(cls, H: int, W: int, focal: float) -> "CameraIntrinsics":
+        return cls(fx=float(focal), fy=float(focal), cx=W * 0.5, cy=H * 0.5)
+
+
+def pixel_directions(
+    x: jnp.ndarray, y: jnp.ndarray, intr: CameraIntrinsics
+) -> jnp.ndarray:
+    """Camera-space direction for pixel coords x, y (any shape) -> (..., 3)."""
+    ydir = (y - intr.cy) / intr.fy
+    if intr.flip_y:
+        ydir = -ydir
+    dirs = jnp.stack(
+        [
+            (x - intr.cx) / intr.fx,
+            ydir,
+            jnp.full_like(x, intr.z_sign),
+        ],
+        axis=-1,
+    )
+    if intr.normalize:
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dirs
 
 
 def get_ray_bundle(
@@ -32,21 +75,24 @@ def get_ray_bundle(
         origins: (..., 3) one origin per pose.
         directions: (..., H, W, 3) world-space unit directions.
     """
+    intr = CameraIntrinsics.from_hwf(height, width, focal_length)
+    return get_ray_bundle_intrinsics(height, width, intr, cam2world)
+
+
+def get_ray_bundle_intrinsics(
+    height: int,
+    width: int,
+    intr: CameraIntrinsics,
+    cam2world: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray bundle under arbitrary pinhole intrinsics/conventions."""
     cam2world = jnp.asarray(cam2world)
     dtype = cam2world.dtype
     xs = jnp.arange(width, dtype=dtype)
     ys = jnp.arange(height, dtype=dtype)
     ii, jj = jnp.meshgrid(xs, ys, indexing="xy")  # each (H, W)
 
-    directions = jnp.stack(
-        [
-            (ii - width * 0.5) / focal_length,
-            -(jj - height * 0.5) / focal_length,
-            -jnp.ones_like(ii),
-        ],
-        axis=-1,
-    )
-    directions = directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)
+    directions = pixel_directions(ii, jj, intr)
 
     rot = cam2world[..., :3, :3]  # (..., 3, 3)
     # world_dir = R @ cam_dir, batched over leading pose dims and pixels.

@@ -41,10 +41,17 @@ def init_train_state(params, optimizer, seed: int) -> TrainState:
     )
 
 
-def _sample_ray_batch(data, key, *, H, W, focal, num_rays, use_ndc, mesh):
+def _sample_ray_batch(
+    data, key, *, H, W, focal, num_rays, use_ndc, mesh, intrinsics=None
+):
     """On-device replacement for DataLoader workers + batch_random_sampling
     (reference: src/data/data_helpers.py:40-51): pick one image, then
     `num_rays` random pixels of it, and build their world rays from the pose."""
+    from nerfmeshes_tpu.ops.rays import CameraIntrinsics, pixel_directions
+
+    if intrinsics is None:
+        intrinsics = CameraIntrinsics.from_hwf(H, W, focal)
+
     k_img, k_pix = jax.random.split(key)
     num_images = data["poses"].shape[0]
     img = jax.random.randint(k_img, (), 0, num_images)
@@ -55,10 +62,7 @@ def _sample_ray_batch(data, key, *, H, W, focal, num_rays, use_ndc, mesh):
 
     x = (pix % W).astype(jnp.float32)
     y = (pix // W).astype(jnp.float32)
-    dirs_cam = jnp.stack(
-        [(x - W * 0.5) / focal, -(y - H * 0.5) / focal, -jnp.ones_like(x)], axis=-1
-    )
-    dirs_cam = dirs_cam / jnp.linalg.norm(dirs_cam, axis=-1, keepdims=True)
+    dirs_cam = pixel_directions(x, y, intrinsics)
     directions = jnp.einsum("ij,rj->ri", pose[:3, :3], dirs_cam)
     origins = jnp.broadcast_to(pose[:3, 3], directions.shape)
 
@@ -87,6 +91,7 @@ def make_train_step(
     mesh=None,
     steps_per_call: Optional[int] = None,
     donate: bool = True,
+    intrinsics=None,
 ):
     """Build the jitted multi-step train function.
 
@@ -147,6 +152,7 @@ def make_train_step(
             num_rays=num_rays,
             use_ndc=use_ndc,
             mesh=mesh,
+            intrinsics=intrinsics,
         )
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, origins, directions, targets, near, far, k_render

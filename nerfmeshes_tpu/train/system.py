@@ -102,7 +102,16 @@ class NeRFSystem:
             W=int(W),
             focal=float(focal),
             mesh=self.mesh,
+            intrinsics=self.train_dataset.intrinsics(),
         )
+        self._render_chunk = make_render_chunk(self.cfg, self.coarse, self.fine)
+        return self
+
+    def setup_eval(self, val_dataset=None):
+        """Lightweight setup for eval/mesh paths: no train dataset or train
+        function, just the jitted chunk renderer."""
+        if val_dataset is not None:
+            self.val_dataset = val_dataset
         self._render_chunk = make_render_chunk(self.cfg, self.coarse, self.fine)
         return self
 

@@ -1,0 +1,89 @@
+"""CLI end-to-end tests: train -> resume -> eval -> mesh on the tiny
+synthetic config (main() invoked in-process; conftest pins the CPU mesh)."""
+
+import glob
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from nerfmeshes_tpu.cli import eval_nerf, mesh_nerf, train_nerf
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    """One trained tiny run shared by the CLI tests."""
+    root = tmp_path_factory.mktemp("cli")
+    cfg_path = root / "tiny.yml"
+    base = yaml.safe_load(open("/root/repo/configs/tiny.yml"))
+    base["experiment"]["logdir"] = str(root / "logs")
+    base["experiment"]["train_iters"] = 100
+    base["experiment"]["validate_every"] = 100
+    base["dataset"]["caching"]["cache_dir"] = str(root / "cache")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    train_nerf.main(["--config", str(cfg_path), "--run-name", "t1"])
+    logdir = sorted(glob.glob(str(root / "logs/tiny/t1/version_*")))[-1]
+    return root, cfg_path, logdir
+
+
+def test_train_cli_produces_run(tiny_run):
+    root, _, logdir = tiny_run
+    assert (Path(logdir) / "hparams.yaml").exists()
+    assert (Path(logdir) / "checkpoints" / "last").exists()
+    metrics = [
+        json.loads(l)
+        for l in open(Path(logdir) / "events" / "metrics.jsonl")
+    ]
+    assert any("validation/loss" in m for m in metrics)
+    steps = [m["step"] for m in metrics]
+    assert max(steps) == 100
+
+
+def test_train_cli_resume(tiny_run):
+    root, _, logdir = tiny_run
+    # Resume and train 0 extra steps (train_iters already reached) — must
+    # restore cleanly and exit.
+    train_nerf.main(["--log-checkpoint", logdir])
+
+
+def test_eval_cli(tiny_run, capsys):
+    root, _, logdir = tiny_run
+    save = root / "eval_out"
+    eval_nerf.main(
+        ["--log-checkpoint", logdir, "--save-dir", str(save),
+         "--save-images", "--save-disparity"]
+    )
+    out = capsys.readouterr().out
+    assert "psnr=" in out and "dataset:" in out
+    assert len(list(save.glob("*_rgb.png"))) > 0
+    assert len(list(save.glob("*_disparity.png"))) > 0
+
+
+def test_eval_cli_synthesis(tiny_run, capsys):
+    root, _, logdir = tiny_run
+    save = root / "synth_out"
+    eval_nerf.main(
+        ["--log-checkpoint", logdir, "--save-dir", str(save), "--synthesis-images"]
+    )
+    # 120 synthesized orbit poses rendered without targets.
+    assert len(list(save.glob("*_rgb.png"))) == 120
+
+
+def test_mesh_cli(tiny_run):
+    root, _, logdir = tiny_run
+    save = root / "mesh_out"
+    mesh_nerf.main(
+        ["--log-checkpoint", logdir, "--save-dir", str(save),
+         "--res", "32", "--limit", "1.2", "--iso-level", "5",
+         "--batch-size", "8192"]
+    )
+    obj = save / "mesh.obj"
+    assert obj.exists()
+    from nerfmeshes_tpu.mesh import import_obj
+
+    verts, faces, colors, normals = import_obj(str(obj))
+    assert len(verts) > 50 and len(faces) > 50
+    assert colors is not None and np.isfinite(colors).all()

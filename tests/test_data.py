@@ -1,0 +1,300 @@
+"""Data-layer tests: all four loaders + datasets over synthesized fixtures."""
+
+import io
+import zlib
+
+import numpy as np
+import pytest
+
+from nerfmeshes_tpu.config import get_default_cfg
+from nerfmeshes_tpu.data.bundle import DataBundle
+from nerfmeshes_tpu.data.datasets import BlenderDataset, DatasetType
+from nerfmeshes_tpu.data.loaders.colmap import (
+    Camera,
+    Image,
+    Point3D,
+    qvec2rotmat,
+    read_model,
+    rotmat2qvec,
+    write_model,
+)
+from nerfmeshes_tpu.data.loaders.llff import load_llff_data
+from nerfmeshes_tpu.data.loaders.scannet import RGBDFrame, SensorData, write_sens
+from nerfmeshes_tpu.data.synthetic import write_blender_style_dataset
+
+
+# ---------------------------------------------------------------- Blender
+
+
+@pytest.fixture(scope="module")
+def blender_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("blender")
+    write_blender_style_dataset(str(root), num_images=4, image_size=16)
+    return root
+
+
+def test_blender_loader_roundtrip(blender_root):
+    cfg = get_default_cfg()
+    cfg.dataset.basedir = str(blender_root)
+    ds = BlenderDataset(cfg, DatasetType.TRAIN)
+    assert ds.bundle.ray_targets.shape == (4, 16, 16, 3)
+    assert ds.bundle.poses.shape == (4, 4, 4)
+    H, W, focal = ds.hwf
+    assert (H, W) == (16, 16)
+    b = ds.image_bundle(0)
+    assert b.ray_directions.shape == (16, 16, 3)
+    assert np.allclose(np.linalg.norm(b.ray_directions, axis=-1), 1.0, atol=1e-5)
+
+
+def test_blender_testskip(blender_root):
+    cfg = get_default_cfg()
+    cfg.dataset.basedir = str(blender_root)
+    cfg.dataset.testskip = 2
+    ds = BlenderDataset(cfg, DatasetType.VALIDATION)
+    assert len(ds) == 2
+
+
+def test_dataset_caching(blender_root, tmp_path):
+    cfg = get_default_cfg()
+    cfg.dataset.basedir = str(blender_root)
+    cfg.dataset.caching.use_caching = True
+    cfg.dataset.caching.cache_dir = str(tmp_path / "cache")
+    ds1 = BlenderDataset(cfg, DatasetType.TRAIN)
+    assert (tmp_path / "cache" / "train.npz").exists()
+    ds2 = BlenderDataset(cfg, DatasetType.TRAIN)  # loads from cache
+    np.testing.assert_allclose(ds1.bundle.ray_targets, ds2.bundle.ray_targets)
+
+
+# ---------------------------------------------------------------- COLMAP
+
+
+def _toy_colmap_model():
+    rng = np.random.default_rng(0)
+    cams = {1: Camera(1, "SIMPLE_RADIAL", 64, 48, np.array([60.0, 32.0, 24.0, 0.01]))}
+    images = {}
+    for i in range(1, 4):
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        images[i] = Image(
+            i, q, rng.standard_normal(3), 1, f"img_{i:03d}.png",
+            rng.uniform(0, 64, (5, 2)), np.arange(5, dtype=np.int64),
+        )
+    points = {
+        j: Point3D(
+            j, rng.standard_normal(3), rng.integers(0, 255, 3), 0.5,
+            np.array([1, 2]), np.array([0, 1]),
+        )
+        for j in range(10, 14)
+    }
+    return cams, images, points
+
+
+@pytest.mark.parametrize("ext", [".bin", ".txt"])
+def test_colmap_model_roundtrip(tmp_path, ext):
+    cams, images, points = _toy_colmap_model()
+    write_model(cams, images, points, tmp_path, ext)
+    c2, i2, p2 = read_model(tmp_path, ext)
+    assert set(c2) == set(cams) and set(i2) == set(images) and set(p2) == set(points)
+    np.testing.assert_allclose(c2[1].params, cams[1].params)
+    for k in images:
+        np.testing.assert_allclose(i2[k].qvec, images[k].qvec, atol=1e-12)
+        np.testing.assert_allclose(i2[k].xys, images[k].xys, atol=1e-9)
+        assert i2[k].name == images[k].name
+    for k in points:
+        np.testing.assert_allclose(p2[k].xyz, points[k].xyz, atol=1e-12)
+        np.testing.assert_array_equal(p2[k].image_ids, points[k].image_ids)
+
+
+def test_qvec_rotmat_roundtrip():
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        R = qvec2rotmat(q)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        np.testing.assert_allclose(rotmat2qvec(R), q, atol=1e-8)
+
+
+# ---------------------------------------------------------------- LLFF
+
+
+@pytest.fixture(scope="module")
+def llff_root(tmp_path_factory):
+    """Synthesize an LLFF scene: images/ + poses_bounds.npy."""
+    import imageio.v2 as imageio
+
+    root = tmp_path_factory.mktemp("llff")
+    (root / "images").mkdir()
+    rng = np.random.default_rng(0)
+    N, H, W, f = 6, 32, 40, 35.0
+    rows = []
+    for i in range(N):
+        img = (rng.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(root / "images" / f"im_{i:03d}.png", img)
+        # camera at a ring around origin, LLFF [down, right, back] columns
+        th = 2 * np.pi * i / N
+        pos = np.array([np.cos(th), np.sin(th), 4.0])
+        back = pos / np.linalg.norm(pos)
+        right = np.cross([0, 1, 0], back)
+        right /= np.linalg.norm(right)
+        down = np.cross(back, right)
+        m = np.stack([down, right, back, pos], 1)  # (3, 4)
+        hwf = np.array([[H], [W], [f]])
+        rows.append(np.concatenate([np.concatenate([m, hwf], 1).ravel(), [2.0, 6.0]]))
+    np.save(root / "poses_bounds.npy", np.stack(rows))
+    return root
+
+
+def test_llff_loader(llff_root):
+    images, poses, bds, render_poses, i_test = load_llff_data(
+        str(llff_root), factor=2, spherify=False
+    )
+    assert images.shape == (6, 16, 20, 3)
+    assert poses.shape == (6, 3, 5)
+    assert bds.shape == (6, 2)
+    assert render_poses.shape[0] == 120
+    assert 0 <= i_test < 6
+    # minify cache dir contract
+    assert (llff_root / "images_2").exists()
+    # hwf updated for the downsample factor
+    assert poses[0, 0, 4] == 16 and poses[0, 1, 4] == 20
+
+
+def test_llff_loader_spherify(llff_root):
+    images, poses, bds, render_poses, i_test = load_llff_data(
+        str(llff_root), factor=2, spherify=True
+    )
+    assert render_poses.shape == (120, 3, 5)
+    # Spherified camera centers lie near the unit sphere.
+    radii = np.linalg.norm(poses[:, :3, 3], axis=-1)
+    assert 0.5 < radii.mean() < 2.0
+
+
+def test_colmap_dataset_from_llff(llff_root):
+    from nerfmeshes_tpu.data.colmap_dataset import ColmapDataset
+
+    cfg = get_default_cfg()
+    cfg.dataset.type = "colmap"
+    cfg.dataset.basedir = str(llff_root)
+    cfg.dataset.llff_downsample_factor = 2
+    cfg.dataset.llff_hold_step = 3
+    train = ColmapDataset(cfg, DatasetType.TRAIN)
+    val = ColmapDataset(cfg, DatasetType.VALIDATION)
+    assert len(train) + len(val) == 6
+    assert train.bundle.ray_bounds.shape == (len(train), 2)  # per-image bounds
+    b = train.image_bundle(0)
+    assert b.ray_bounds.shape == (2,)
+
+
+# ---------------------------------------------------------------- ScanNet
+
+
+@pytest.fixture(scope="module")
+def sens_file(tmp_path_factory):
+    import imageio.v2 as imageio
+
+    root = tmp_path_factory.mktemp("scannet")
+    rng = np.random.default_rng(0)
+    H, W = 24, 32
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 30.0, 30.0, W / 2, H / 2
+
+    frames = []
+    for i in range(4):
+        color = (rng.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        imageio.imwrite(buf, color, format="jpeg")
+        depth = (rng.uniform(500, 3000, (H, W))).astype(np.uint16)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = i * 0.1
+        frames.append(
+            RGBDFrame(c2w, i, i, buf.getvalue(), zlib.compress(depth.tobytes()))
+        )
+    path = root / "scene.sens"
+    write_sens(
+        str(path), frames, intrinsic_color=K, intrinsic_depth=K,
+        color_size=(W, H), depth_size=(W, H),
+    )
+    return path
+
+
+def test_scannet_parse(sens_file):
+    sd = SensorData(str(sens_file))
+    assert len(sd.frames) == 4
+    assert sd.color_width == 32 and sd.color_height == 24
+    img = sd.color_image(0)
+    assert img.shape == (24, 32, 3)
+    depth = sd.depth_image(1)
+    assert depth.shape == (24, 32)
+    assert 0.4 < depth.mean() < 3.5  # meters after depth_shift
+    assert sd.frames[2].camera_to_world[0, 3] == pytest.approx(0.2)
+
+
+def test_scannet_exporters(sens_file, tmp_path):
+    sd = SensorData(str(sens_file))
+    sd.export_poses(tmp_path / "pose")
+    sd.export_intrinsics(tmp_path / "intrinsic")
+    assert (tmp_path / "pose" / "0.txt").exists()
+    assert (tmp_path / "intrinsic" / "intrinsic_color.txt").exists()
+
+
+def test_scannet_dataset(sens_file):
+    from nerfmeshes_tpu.data.scannet_dataset import ScanNetDataset
+
+    cfg = get_default_cfg()
+    cfg.dataset.type = "scannet"
+    cfg.dataset.basedir = str(sens_file)
+    ds = ScanNetDataset(cfg, DatasetType.TRAIN)
+    assert len(ds) == 4
+    intr = ds.intrinsics()
+    assert intr.z_sign == 1.0 and not intr.flip_y
+    b = ds.image_bundle(0)
+    assert b.ray_directions.shape == (24, 32, 3)
+    assert b.target_depth.shape == (24, 32)
+    # Center pixel's ray is close to the camera forward (+z here = identity pose).
+    center = b.ray_directions[12, 16]
+    assert center[2] > 0.9
+
+
+# ---------------------------------------------------------------- colmap_convert
+
+
+def test_colmap_convert_poses(tmp_path):
+    """gen_poses over a synthetic sparse model (no colmap binary run)."""
+    import imageio.v2 as imageio
+
+    from nerfmeshes_tpu.cli.colmap_convert import gen_poses
+
+    rng = np.random.default_rng(0)
+    base = tmp_path / "scene"
+    (base / "images").mkdir(parents=True)
+    H, W = 24, 32
+    cams = {1: Camera(1, "SIMPLE_RADIAL", W, H, np.array([30.0, W / 2, H / 2, 0.0]))}
+    images, points = {}, {}
+    for i in range(1, 4):
+        imageio.imwrite(
+            base / "images" / f"img_{i:03d}.png",
+            (rng.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8),
+        )
+        images[i] = Image(
+            i, np.array([1.0, 0, 0, 0]), np.array([0.0, 0.0, float(i)]), 1,
+            f"img_{i:03d}.png", np.zeros((0, 2)), np.zeros(0, np.int64),
+        )
+    # COLMAP cameras look along +z; put the point cloud in front of them.
+    for j in range(20):
+        points[j] = Point3D(
+            j, rng.standard_normal(3) * 0.5 + [0, 0, 5], np.array([100, 100, 100]),
+            0.1, np.array([1, 2, 3]), np.array([0, 0, 0]),
+        )
+    write_model(cams, images, points, base / "sparse" / "0", ".bin")
+
+    gen_poses(str(base), "exhaustive_matcher")
+    pb = np.load(base / "poses_bounds.npy")
+    assert pb.shape == (3, 17)
+    bounds = pb[:, 15:]
+    assert (bounds[:, 0] < bounds[:, 1]).all()
+    assert (bounds > 0).all()  # points sit in front of every camera

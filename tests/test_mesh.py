@@ -1,0 +1,200 @@
+"""Mesh subsystem tests: native iso-surface extraction, grid evaluation,
+appearance pipeline, exports, chamfer."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from nerfmeshes_tpu.mesh import (
+    MeshArgs,
+    chamfer_between_meshes,
+    chamfer_distance,
+    export_marching_cubes,
+    export_obj,
+    export_ply,
+    extract_geometry,
+    extract_iso_level,
+    extract_radiance,
+    import_obj,
+    marching_cubes,
+    normalize_mesh,
+    sample_points_from_mesh,
+)
+from nerfmeshes_tpu.mesh.native import (
+    marching_tetrahedra_native,
+    marching_tetrahedra_numpy,
+)
+
+
+def sphere_density(n=40, radius=10.0, peak=20.0):
+    ax = np.arange(n) - n / 2 + 0.5
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(X**2 + Y**2 + Z**2)
+    return (peak - r).astype(np.float32), n
+
+
+def test_native_lib_builds():
+    assert marching_tetrahedra_native(np.zeros((3, 3, 3), np.float32), 0.5) is not None
+
+
+def test_marching_sphere_accuracy():
+    density, n = sphere_density()
+    verts, tris, normals = marching_cubes(density, 10.0)
+    assert len(verts) > 1000 and len(tris) > 1000
+    center = verts - (n / 2 - 0.5)
+    radius = np.linalg.norm(center, axis=1)
+    assert np.abs(radius - 10.0).max() < 0.1
+    # Normals point outward (toward decreasing density).
+    dots = np.sum(center / radius[:, None] * normals, axis=1)
+    assert dots.min() > 0.9
+
+
+def test_marching_watertight():
+    density, _ = sphere_density(24)
+    verts, tris, _ = marching_tetrahedra_native(density, 10.0)
+    from collections import Counter
+
+    edges = Counter()
+    for a, b, c in tris:
+        for e in ((a, b), (b, c), (a, c)):
+            edges[tuple(sorted(e))] += 1
+    assert set(edges.values()) == {2}
+
+
+def test_numpy_fallback_matches_native_triangle_count():
+    density, _ = sphere_density(20)
+    _, tris_n, _ = marching_tetrahedra_native(density, 10.0)
+    _, tris_f, _ = marching_tetrahedra_numpy(density, 10.0)
+    assert tris_n.shape == tris_f.shape
+
+
+def test_extract_iso_level_clamps():
+    d = np.concatenate([np.zeros(990), np.full(10, 100.0)]).astype(np.float32)
+    iso = extract_iso_level(d, 32.0)
+    assert d.min() + d.std() <= iso <= d.max() - d.std()
+
+
+def analytic_sample_points(points, dirs=None):
+    """rgb from position, sigma = sphere of radius 0.5."""
+    r = jnp.linalg.norm(points, axis=-1)
+    sigma = 40.0 * (0.6 - r)
+    rgb = jnp.clip(points * 0.5 + 0.5, 0.0, 1.0)
+    return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
+def test_extract_radiance_grid():
+    rad = extract_radiance(analytic_sample_points, limit=1.0, nums=24, tile=4096)
+    assert rad.shape == (24, 24, 24, 4)
+    # Center has the max density.
+    assert rad[12, 12, 12, 3] == rad[..., 3].max()
+
+
+def test_extract_geometry_world_coords():
+    args = MeshArgs(iso_level=0.0, limit=1.0, res=32)
+    verts, tris, normals, density = extract_geometry(analytic_sample_points, args)
+    r = np.linalg.norm(verts, axis=1)
+    # Iso level clamps to min+std; surface lands between 0.3 and 0.62.
+    assert len(verts) > 100
+    assert (r > 0.2).all() and (r < 0.7).all()
+
+
+def test_export_import_obj_roundtrip(tmp_path):
+    density, _ = sphere_density(16)
+    verts, tris, normals = marching_cubes(density, 10.0)
+    colors = np.random.default_rng(0).uniform(size=(len(verts), 3)).astype(np.float32)
+    path = tmp_path / "m.obj"
+    export_obj(verts, tris, colors, normals, str(path))
+    v2, t2, c2, n2 = import_obj(str(path))
+    np.testing.assert_allclose(v2, verts, rtol=1e-5)
+    np.testing.assert_array_equal(t2, tris)
+    np.testing.assert_allclose(c2, colors, rtol=1e-5)
+    np.testing.assert_allclose(n2, normals, rtol=1e-5, atol=1e-6)
+
+
+def test_export_ply(tmp_path):
+    density, _ = sphere_density(12)
+    verts, tris, normals = marching_cubes(density, 8.0)
+    path = tmp_path / "m.ply"
+    export_ply(verts, tris, colors=np.ones((len(verts), 3)) * 0.5, normals=normals, filename=str(path))
+    head = path.read_text().splitlines()
+    assert head[0] == "ply"
+    assert f"element vertex {len(verts)}" in head
+
+
+def test_chamfer_identity_and_symmetry():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((500, 3)).astype(np.float32)
+    b = a + 0.01
+    assert chamfer_distance(a, a) == pytest.approx(0.0, abs=1e-6)
+    d = chamfer_distance(a, b)
+    assert d == pytest.approx(chamfer_distance(b, a), rel=1e-5)
+    assert 0 < d < 0.01
+
+
+def test_sample_points_on_surface():
+    density, n = sphere_density(24)
+    verts, tris, _ = marching_cubes(density, 10.0)
+    pts = sample_points_from_mesh(verts, tris, 2000)
+    r = np.linalg.norm(pts - (n / 2 - 0.5), axis=1)
+    assert np.abs(r - 10).max() < 0.5
+
+
+def test_chamfer_between_sphere_meshes():
+    d1, _ = sphere_density(24, radius=10.0)
+    d2, _ = sphere_density(24, radius=10.0)
+    v1, t1, _ = marching_cubes(d1, 10.0)
+    v2, t2, _ = marching_cubes(d2, 10.5)  # slightly smaller sphere
+    same = chamfer_between_meshes((v1, t1), (v1, t1))
+    diff = chamfer_between_meshes((v1, t1), (v2, t2))
+    assert same < diff
+
+
+def test_normalize_mesh_unit():
+    v = np.array([[0, 0, 0], [4, 2, 2], [2, 4, 0]], np.float32)
+    out = normalize_mesh(v)
+    assert np.abs(out).max() == pytest.approx(1.0)
+    np.testing.assert_allclose(out.mean(0), 0, atol=1e-6)
+
+
+def test_full_pipeline_with_system(tmp_path):
+    """export_marching_cubes against a stub system (analytic field)."""
+
+    class StubSystem:
+        def sample_points(self, points, dirs=None):
+            return analytic_sample_points(points, dirs)
+
+        def query_rays(self, origins, dirs, near, far, chunk=None):
+            class Out:
+                rgb_map = np.asarray(
+                    analytic_sample_points(jnp.asarray(origins))
+                )[..., :3]
+
+            return Out()
+
+    args = MeshArgs(
+        iso_level=0.0, limit=1.0, res=24, save_dir=str(tmp_path), batch_size=2048
+    )
+    verts, tris, diffuse, normals = export_marching_cubes(StubSystem(), args)
+    assert (tmp_path / "mesh.obj").exists()
+    assert len(diffuse) == len(verts)
+    assert np.isfinite(diffuse).all()
+
+    # no-view-dependence branch
+    args2 = MeshArgs(
+        iso_level=0.0, limit=1.0, res=24, save_dir=str(tmp_path),
+        no_view_dependence=True, mesh_name="mesh2.obj", batch_size=2048,
+    )
+    verts2, _, diffuse2, _ = export_marching_cubes(StubSystem(), args2)
+    assert (tmp_path / "mesh2.obj").exists()
+    assert len(diffuse2) == len(verts2)
+
+
+def test_super_sampling_runs():
+    args = MeshArgs(iso_level=0.0, limit=1.0, res=16, super_sampling=1)
+    from nerfmeshes_tpu.mesh import extract_geometry_with_super_sampling
+
+    verts, tris, normals, density = extract_geometry_with_super_sampling(
+        analytic_sample_points, args
+    )
+    assert density.shape == (16, 16, 16)
+    assert len(verts) > 0

