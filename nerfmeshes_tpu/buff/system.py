@@ -290,8 +290,26 @@ class BuFFSystem(NeRFSystem):
         if step >= boundary:
             cur = step - self.tree.integration_offset
             if cur % self.tree.step_size_tree < spc:
+                self._log_tree(step)
                 memm = np.asarray(self.tree_state.memm)
                 self.tree_state = self.tree.consolidate(memm)
+                self._log_tree(step + 1)
+
+    def _log_tree(self, step: int) -> None:
+        """Voxel mesh + sorted-memm curve to TB (the reference logs these
+        every training step, src/models/model_buff.py:100-107; we log at
+        consolidation boundaries to keep the hot loop host-free)."""
+        if self.logger is None or self.logger._tb is None:
+            return
+        from nerfmeshes_tpu.utils.loggers import TreeLogger, TreeWeightsLogger
+
+        active = np.asarray(self.tree_state.active)
+        TreeLogger().tick(
+            self.logger._tb, step, np.asarray(self.tree_state.voxels), active
+        )
+        TreeWeightsLogger().tick(
+            self.logger._tb, step, np.asarray(self.tree_state.memm), active
+        )
 
     def checkpoint_extra(self) -> dict:
         return {"tree": self.tree.serialize(self.tree_state)}

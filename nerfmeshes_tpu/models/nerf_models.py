@@ -76,12 +76,12 @@ class FlexibleNeRFModel(nn.Module):
             x = jnp.concatenate([feat, view], axis=-1)
             x = jax.nn.relu(TorchLinear(self.hidden_size // 2, dtype=self.dtype)(x))
             rgb = jax.nn.sigmoid(TorchLinear(3, dtype=self.dtype)(x))
-            return jnp.concatenate([rgb, alpha], axis=-1)
+            return jnp.concatenate([rgb, alpha], axis=-1).astype(jnp.float32)
 
         out = TorchLinear(4, dtype=self.dtype)(x)
         return jnp.concatenate(
             [jax.nn.sigmoid(out[..., :3]), out[..., 3:]], axis=-1
-        )
+        ).astype(jnp.float32)
 
 
 class SimpleModel(nn.Module):
@@ -119,7 +119,7 @@ class SimpleModel(nn.Module):
                 self.hidden_size, self.num_layers_view, dtype=self.dtype
             )(x, xyzdir)
         color = SimpleModule(3, activation=jax.nn.sigmoid, dtype=self.dtype)(x)
-        return jnp.concatenate([color, depth], axis=-1)
+        return jnp.concatenate([color, depth], axis=-1).astype(jnp.float32)
 
 
 class SpecularSimpleModel(nn.Module):
@@ -160,7 +160,7 @@ class SpecularSimpleModel(nn.Module):
                 SimpleModule(1, activation=jnp.tanh, dtype=self.dtype)(x)
             )
             color = get_luminance_function(self.luminance_function)(color, specular)
-        return jnp.concatenate([color, depth], axis=-1), specular
+        return jnp.concatenate([color, depth], axis=-1).astype(jnp.float32), specular
 
 
 class FlatModel(nn.Module):
@@ -179,7 +179,7 @@ class FlatModel(nn.Module):
             x = SimpleModule(self.hidden_size, dtype=self.dtype)(x)
         depth = SimpleModule(1, dtype=self.dtype)(x)
         color = SimpleModule(3, activation=jax.nn.sigmoid, dtype=self.dtype)(x)
-        return jnp.concatenate([color, depth], axis=-1)
+        return jnp.concatenate([color, depth], axis=-1).astype(jnp.float32)
 
 
 class ResModel(nn.Module):
@@ -200,7 +200,7 @@ class ResModel(nn.Module):
             x = ResBlock(self.hidden_size, self.hidden_size // 2, dtype=self.dtype)(x)
         depth = SimpleModule(1, dtype=self.dtype)(x)
         color = SimpleModule(3, activation=jax.nn.sigmoid, dtype=self.dtype)(x)
-        return jnp.concatenate([color, depth], axis=-1)
+        return jnp.concatenate([color, depth], axis=-1).astype(jnp.float32)
 
 
 class DropModel(nn.Module):
@@ -239,7 +239,7 @@ class DropModel(nn.Module):
                 self.hidden_size, self.num_layers_view, dtype=self.dtype
             )(x, xyzdir)
         color = SimpleModule(3, activation=jax.nn.sigmoid, dtype=self.dtype)(x)
-        return jnp.concatenate([color, depth], axis=-1)
+        return jnp.concatenate([color, depth], axis=-1).astype(jnp.float32)
 
 
 class RotFlexibleNeRFModel(nn.Module):
@@ -278,10 +278,10 @@ class RotFlexibleNeRFModel(nn.Module):
             x = jnp.concatenate([feat, view], axis=-1)
             x = jax.nn.relu(TorchLinear(self.hidden_size // 2, dtype=self.dtype)(x))
             rgb = jax.nn.sigmoid(TorchLinear(3, dtype=self.dtype)(x))
-            return jnp.concatenate([rgb, alpha], axis=-1)
+            return jnp.concatenate([rgb, alpha], axis=-1).astype(jnp.float32)
 
         out = TorchLinear(4, dtype=self.dtype)(x)
-        return jnp.concatenate([jax.nn.sigmoid(out[..., :3]), out[..., 3:]], axis=-1)
+        return jnp.concatenate([jax.nn.sigmoid(out[..., :3]), out[..., 3:]], axis=-1).astype(jnp.float32)
 
 
 MODEL_REGISTRY = {

@@ -67,6 +67,57 @@ def _searchsorted_right(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.nda
     )
 
 
+def take_along_last(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """values (..., B) gathered at idx (..., S) -> (..., S).
+
+    One-hot contraction on the MXU instead of jnp.take_along_axis: XLA's
+    per-element gather was the single hottest op in the profiled train step
+    (~5 ms per 2048x128 gather); the dense (S, B) one-hot batched matmul is
+    ~50x cheaper for the small trailing dims used here.
+    """
+    onehot = jax.nn.one_hot(idx, values.shape[-1], dtype=values.dtype)
+    return jnp.einsum("...sb,...b->...s", onehot, values)
+
+
+def sorted_uniforms(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """Order statistics of iid U(0,1) along the last axis WITHOUT a sort.
+
+    Normalized cumulative sums of exponential spacings are exactly jointly
+    distributed as sorted uniforms — an O(S) construction that avoids the
+    TPU's expensive bitonic sort (the sort of the merged coarse+fine depth
+    samples dominated the whole sampling pipeline before this).
+    """
+    *batch, n = shape
+    e = jax.random.exponential(key, (*batch, n + 1), dtype=dtype)
+    cums = jnp.cumsum(e, axis=-1)
+    return cums[..., :-1] / cums[..., -1:]
+
+
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-row sorted arrays (..., n) + (..., m) -> (..., n+m).
+
+    Positions come from cross-searchsorted rank sums (a dense comparison
+    contraction, VPU-friendly) instead of sorting the concatenation.
+    Ties break with `a` first, matching a stable ascending sort of
+    concatenate([a, b]).
+    """
+    n, m = a.shape[-1], b.shape[-1]
+    # a[i] precedes b[j] when a[i] <= b[j].
+    pos_a = (
+        jnp.arange(n) + jnp.sum((b[..., None, :] < a[..., :, None]), axis=-1)
+    )
+    pos_b = (
+        jnp.arange(m) + jnp.sum((a[..., None, :] <= b[..., :, None]), axis=-1)
+    )
+    # Scatter via one-hot contraction (TPU scatter is per-element and slow;
+    # the positions form a permutation so the two contributions just add).
+    oh_a = jax.nn.one_hot(pos_a, n + m, dtype=a.dtype)
+    oh_b = jax.nn.one_hot(pos_b, n + m, dtype=b.dtype)
+    return jnp.einsum("...n,...nk->...k", a, oh_a) + jnp.einsum(
+        "...m,...mk->...k", b, oh_b
+    )
+
+
 def sample_pdf(
     bins: jnp.ndarray,
     weights: jnp.ndarray,
@@ -74,6 +125,7 @@ def sample_pdf(
     *,
     deterministic: bool = True,
     key: jax.Array | None = None,
+    sorted_uniform: bool = False,
 ) -> jnp.ndarray:
     """Inverse-CDF sampling of `num_samples` new depths from bin weights.
 
@@ -98,17 +150,22 @@ def sample_pdf(
     else:
         if key is None:
             raise ValueError("stochastic sample_pdf requires a PRNG key")
-        u = jax.random.uniform(key, (*batch_shape, num_samples), dtype=cdf.dtype)
+        if sorted_uniform:
+            # Same joint law as sorting iid uniforms, but sort-free — and
+            # monotone u makes the output samples already depth-sorted.
+            u = sorted_uniforms(key, (*batch_shape, num_samples), dtype=cdf.dtype)
+        else:
+            u = jax.random.uniform(key, (*batch_shape, num_samples), dtype=cdf.dtype)
 
     inds = _searchsorted_right(cdf, u)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    cdf_below = take_along_last(cdf, below)
+    cdf_above = take_along_last(cdf, above)
     # len(bins) == len(cdf) - 1 == B, and below/above are in [0, B-1].
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    bins_below = take_along_last(bins, below)
+    bins_above = take_along_last(bins, above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
@@ -137,6 +194,11 @@ def hierarchical_intervals(
         num_fine,
         deterministic=not perturb,
         key=key,
+        sorted_uniform=True,
     )
     samples = jax.lax.stop_gradient(samples)
-    return jnp.sort(jnp.concatenate([intervals, samples], axis=-1), axis=-1)
+    # Both inputs are sorted (deterministic u is a linspace; stochastic u
+    # uses the order-statistics construction), so a rank-sum merge replaces
+    # the reference's full sort of the concatenation — the sort was the
+    # single most expensive op in the train step on TPU.
+    return merge_sorted(intervals, samples)

@@ -216,6 +216,50 @@ def test_intervals_to_ray_points_parity(rng):
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_merge_sorted_equals_sort_concat(rng):
+    from nerfmeshes_tpu.ops.sampling import merge_sorted
+
+    a = np.sort(rng.uniform(0, 10, size=(6, 16)).astype(np.float32), axis=-1)
+    b = np.sort(rng.uniform(0, 10, size=(6, 24)).astype(np.float32), axis=-1)
+    got = to_np(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    expected = np.sort(np.concatenate([a, b], -1), axis=-1)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_sorted_uniforms_properties():
+    from nerfmeshes_tpu.ops.sampling import sorted_uniforms
+
+    u = to_np(sorted_uniforms(jax.random.key(0), (2000, 16)))
+    assert (np.diff(u, axis=-1) >= 0).all()
+    assert (u >= 0).all() and (u <= 1).all()
+    # Marginal of all entries pooled is U(0,1): mean ~0.5, var ~1/12.
+    assert abs(u.mean() - 0.5) < 0.01
+    assert abs(u.var() - 1.0 / 12.0) < 0.005
+
+
+def test_stochastic_sorted_sample_pdf_distribution(rng):
+    """Sorted-uniform inverse-CDF sampling matches the iid+implicit-sort
+    distribution: bin occupancy proportional to weights."""
+    B, S = 1, 17
+    bins = np.linspace(0.0, 1.0, B * (S + 1)).reshape(B, S + 1).astype(np.float32)
+    weights = rng.uniform(0.2, 1.0, size=(B, S)).astype(np.float32)
+    counts = np.zeros(S)
+    n_trials = 200
+    for t in range(n_trials):
+        s = to_np(
+            sample_pdf(
+                jnp.asarray(bins), jnp.asarray(weights), 64,
+                deterministic=False, key=jax.random.key(t), sorted_uniform=True,
+            )
+        )
+        assert (np.diff(s, axis=-1) >= -1e-6).all()  # sorted output
+        hist, _ = np.histogram(s, bins=bins[0])
+        counts += hist
+    frac = counts / counts.sum()
+    expect = (weights[0] + 1e-5) / (weights[0] + 1e-5).sum()
+    np.testing.assert_allclose(frac, expect, atol=0.01)
+
+
 def test_mse2psnr():
     np.testing.assert_allclose(float(mse2psnr(jnp.asarray(0.01))), 20.0, rtol=1e-5)
     assert np.isfinite(float(mse2psnr(jnp.asarray(0.0))))
