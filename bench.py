@@ -37,6 +37,10 @@ def _load_baseline() -> float | None:
 def main() -> None:
     import jax
 
+    from nerfmeshes_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from nerfmeshes_tpu.config import get_default_cfg
     from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
     from nerfmeshes_tpu.train.optim import build_optimizer
@@ -88,12 +92,56 @@ def main() -> None:
     baseline = _load_baseline()
     vs_baseline = rays_per_sec_chip / baseline if baseline else None
 
+    # Side metrics: eval-render rays/sec and mesh-grid points/sec.
+    from nerfmeshes_tpu.train.step import make_render_chunk
+
+    render_chunk = make_render_chunk(cfg, coarse, fine)
+    R_chunk = 16384
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    d = rng.standard_normal((R_chunk, 3)).astype(_np.float32)
+    d /= _np.linalg.norm(d, axis=-1, keepdims=True)
+    o = jax.numpy.zeros((R_chunk, 3))
+    d = jax.numpy.asarray(d)
+    cb, fb = render_chunk(state.params, o, d, 2.0, 6.0)
+    jax.block_until_ready(fb.rgb_map)
+    t0 = time.time()
+    for _ in range(10):
+        cb, fb = render_chunk(state.params, o, d, 2.0, 6.0)
+    jax.block_until_ready(fb.rgb_map)
+    render_rays_per_sec = 10 * R_chunk / (time.time() - t0)
+
+    from nerfmeshes_tpu.train.system import NeRFSystem  # noqa: F401  (API parity)
+    from nerfmeshes_tpu.ops.pallas.fused_mlp import fused_flexible_apply, supports_fused
+
+    pts_tile = jax.numpy.asarray(
+        rng.uniform(-1, 1, (131072, 3)).astype(_np.float32)
+    )
+
+    @jax.jit
+    def grid_eval(p):
+        if supports_fused(fine):
+            return fused_flexible_apply(fine, p["fine"], pts_tile, pts_tile)
+        return fine.apply(p["fine"], pts_tile, pts_tile)
+
+    out = grid_eval(state.params)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(10):
+        out = grid_eval(state.params)
+    jax.block_until_ready(out)
+    grid_pts_per_sec = 10 * pts_tile.shape[0] / (time.time() - t0)
+
     details = {
         "device": str(jax.devices()[0]),
         "n_chips": n_chips,
         "compile_s": compile_s,
         "steps_per_sec": n_calls * steps_per_call / elapsed,
         "train_rays_per_sec_total": rays_per_sec,
+        "render_rays_per_sec": render_rays_per_sec,
+        "mesh_grid_pts_per_sec": grid_pts_per_sec,
+        "mesh_480_grid_eval_est_s": (480**3) / grid_pts_per_sec,
         "final_loss": float(metrics["train/loss"]),
         "baseline_train_rays_per_sec": baseline,
     }

@@ -40,6 +40,9 @@ def cast_to_disparity_image(disp: np.ndarray, white_background: bool = False):
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    from nerfmeshes_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     from nerfmeshes_tpu.config.paths import resolve_paths
     from nerfmeshes_tpu.data.datasets import DatasetType, build_dataset
     from nerfmeshes_tpu.ops.math import mse2psnr

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    from nerfmeshes_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     from nerfmeshes_tpu.config.paths import resolve_paths
     from nerfmeshes_tpu.mesh import MeshArgs, export_marching_cubes
     from nerfmeshes_tpu.train.factory import build_system

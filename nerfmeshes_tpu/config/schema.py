@@ -34,6 +34,8 @@ def get_default_cfg() -> CfgNode:
                 # how many optimizer steps a single jitted call advances
                 # (lax.scan over steps amortizes dispatch overhead).
                 "steps_per_call": 10,
+                # route eligible MLPs through the fused Pallas kernel.
+                "use_fused_kernel": True,
             },
             "logging": {
                 "use_acronyms": True,

@@ -1,0 +1,17 @@
+from nerfmeshes_tpu.ops.pallas.fused_mlp import (
+    MLPSpec,
+    fused_flexible_apply,
+    fused_mlp,
+    params_to_flat,
+    spec_from_model,
+    supports_fused,
+)
+
+__all__ = [
+    "MLPSpec",
+    "fused_flexible_apply",
+    "fused_mlp",
+    "params_to_flat",
+    "spec_from_model",
+    "supports_fused",
+]

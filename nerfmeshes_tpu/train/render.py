@@ -30,6 +30,7 @@ class RenderSettings(NamedTuple):
     white_background: bool
     use_fine: bool
     attenuation_threshold: float = 1e-5
+    use_fused_kernel: bool = True
 
     @classmethod
     def from_cfg(cls, cfg, train: bool) -> "RenderSettings":
@@ -42,12 +43,24 @@ class RenderSettings(NamedTuple):
             radiance_field_noise_std=float(mode.radiance_field_noise_std),
             white_background=bool(cfg.dataset.white_background),
             use_fine=bool(cfg.models.use_fine),
+            use_fused_kernel=bool(cfg.experiment.get("use_fused_kernel", True)),
         )
 
 
-def _apply_field(model, params, points, directions):
+def _apply_field(model, params, points, directions, use_fused: bool = False):
     """Run a radiance-field model; unwrap (field, aux) tuples
-    (SpecularSimpleModel returns a tuple, see src/models/model_base.py:69-72)."""
+    (SpecularSimpleModel returns a tuple, see src/models/model_base.py:69-72).
+
+    With `use_fused`, eligible models (the FlexibleNeRF family) run through
+    the fused Pallas MLP kernel instead of flax apply."""
+    if use_fused:
+        from nerfmeshes_tpu.ops.pallas.fused_mlp import (
+            fused_flexible_apply,
+            supports_fused,
+        )
+
+        if supports_fused(model):
+            return fused_flexible_apply(model, params, points, directions)
     out = model.apply(params, points, directions)
     if isinstance(out, tuple):
         out = out[0]
@@ -96,7 +109,10 @@ def render_rays(
     points = intervals_to_ray_points(intervals, ray_directions, origins)
     dirs = jnp.broadcast_to(ray_directions[..., None, :], points.shape)
 
-    coarse_field = _apply_field(coarse_model, params["coarse"], points, dirs)
+    coarse_field = _apply_field(
+        coarse_model, params["coarse"], points, dirs,
+        use_fused=settings.use_fused_kernel,
+    )
     noise_std = settings.radiance_field_noise_std if train else 0.0
     coarse_bundle = volume_render(
         coarse_field,
@@ -120,7 +136,10 @@ def render_rays(
         )
         points = intervals_to_ray_points(fine_intervals, ray_directions, origins)
         dirs = jnp.broadcast_to(ray_directions[..., None, :], points.shape)
-        fine_field = _apply_field(fine_model, params["fine"], points, dirs)
+        fine_field = _apply_field(
+            fine_model, params["fine"], points, dirs,
+            use_fused=settings.use_fused_kernel,
+        )
         fine_bundle = volume_render(
             fine_field,
             fine_intervals,

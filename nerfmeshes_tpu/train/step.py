@@ -100,6 +100,11 @@ def make_train_step(
     matching per-step logging cadence).
     """
     settings = RenderSettings.from_cfg(cfg, train=True)
+    if mesh is not None:
+        # The Pallas kernel is not SPMD-partitionable by the XLA sharding
+        # pass; the sharded path uses the XLA MLPs (grad psum comes from
+        # the partitioner).
+        settings = settings._replace(use_fused_kernel=False)
     num_rays = int(cfg.nerf.train.num_random_rays)
     use_ndc = bool(cfg.dataset.use_ndc)
     use_fine = settings.use_fine and fine_model is not None

@@ -140,6 +140,14 @@ class NeRFSystem:
             if self.fine is not None
             else self.state.params["coarse"]
         )
+        if bool(self.cfg.experiment.get("use_fused_kernel", True)) and directions is not None:
+            from nerfmeshes_tpu.ops.pallas.fused_mlp import (
+                fused_flexible_apply,
+                supports_fused,
+            )
+
+            if supports_fused(model):
+                return fused_flexible_apply(model, params, points, directions)
         out = model.apply(params, points, directions)
         if isinstance(out, tuple):
             out = out[0]
@@ -200,7 +208,43 @@ class NeRFSystem:
             metrics["validation/fine_loss"] = fine_loss
             metrics["validation/fine_psnr"] = float(mse2psnr(jnp.asarray(fine_loss)))
         metrics["validation/loss"] = loss
+
+        chamfer = self._chamfer_validation()
+        if chamfer is not None:
+            metrics["validation/chamfer_loss"] = chamfer
         return metrics
+
+    def _chamfer_validation(self):
+        """Chamfer distance of the extracted iso-surface against a target
+        mesh (<basedir>/model.obj), re-extracting geometry each validation
+        epoch (reference: src/models/model_base.py:82-102)."""
+        cfg = self.cfg
+        if not cfg.experiment.chamfer_loss:
+            return None
+        from pathlib import Path
+
+        target_path = Path(cfg.dataset.basedir) / "model.obj"
+        if not target_path.exists():
+            return None
+        from nerfmeshes_tpu.mesh import (
+            MeshArgs,
+            chamfer_distance,
+            extract_geometry,
+            import_obj,
+            normalize_mesh,
+            sample_points_from_mesh,
+        )
+
+        n_samples = int(cfg.experiment.chamfer_sampling_size)
+        verts_t, faces_t, _, _ = import_obj(str(target_path))
+        verts, faces, _, _ = extract_geometry(
+            self.sample_points, MeshArgs(res=64, limit=1.2, iso_level=32)
+        )
+        if len(faces) == 0:
+            return None
+        pts_a = sample_points_from_mesh(normalize_mesh(verts_t), faces_t, n_samples)
+        pts_b = sample_points_from_mesh(normalize_mesh(verts), faces, n_samples)
+        return float(chamfer_distance(pts_a, pts_b))
 
     # -- fit loop ------------------------------------------------------------------
     def fit(self, max_steps: Optional[int] = None) -> dict:

@@ -198,3 +198,30 @@ def test_super_sampling_runs():
     )
     assert density.shape == (16, 16, 16)
     assert len(verts) > 0
+
+
+def test_chamfer_validation_metric(tmp_path):
+    """NeRFSystem.validate reports validation/chamfer_loss when a target
+    model.obj exists and cfg.experiment.chamfer_loss is on."""
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+    from nerfmeshes_tpu.train.system import NeRFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.experiment.chamfer_loss = True
+    cfg.experiment.chamfer_sampling_size = 400
+    cfg.dataset.basedir = str(tmp_path)
+
+    # Target mesh: sphere from the analytic field.
+    density, n = sphere_density(20)
+    verts, tris, normals = marching_cubes(density, 10.0)
+    export_obj(verts, tris, None, normals, str(tmp_path / "model.obj"))
+
+    system = NeRFSystem(cfg)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=2, image_size=12),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=12),
+    )
+    metrics = system.validate(log_images=False)
+    assert "validation/chamfer_loss" in metrics
+    assert np.isfinite(metrics["validation/chamfer_loss"])
