@@ -6,10 +6,14 @@ TPU redesign of the reference's TreeSampling (src/nerf/tree.py:39-358):
   rows; inactive rows carry far-away degenerate boxes) so every device op
   has static shapes and stays inside one jitted train step.
 - `ray_voxel_intersect` is a vectorized R x V slab test + the reference's
-  deterministic chord-length-proportional sampler (sort / cumsum /
-  searchsorted — all XLA-native) or multinomial random sampling.
+  deterministic chord-length-proportional sampler, rebuilt TPU-first:
+  valid chords compact into K slots via one-hot MXU contractions (a ray
+  crosses ~3*outer_count cells, far fewer than V), get depth-sorted at
+  size K, and the inverse length mapping uses K-sized comparison
+  contractions — no V-sized sort/scatter/gather anywhere. Multinomial
+  random sampling is also supported.
 - `integrate` folds rendered weights back into the per-voxel running mean
-  (`memm`) with segment sums; memm/counter are functional device state.
+  (`memm`) with one-hot reductions; memm/counter are functional state.
 - Consolidation (prune + best-first subdivide, every `step_size_tree`
   steps) runs on host over a flat leaf list and re-uploads fresh padded
   arrays — the only host round-trip, at 1/6000 step frequency.
@@ -64,6 +68,12 @@ class TreeSampling:
         self.step_size_tree = int(tree_cfg.step_size_tree)
         self.integration_offset = int(tree_cfg.step_size_integration_offset)
 
+        # The reference's cap bounds *subdivision*, not the initial grid:
+        # outer_count^3 (12^3 = 1728) may exceed max_voxel_count (1536)
+        # until the first consolidation prunes (reference: tree.py:153-167
+        # applies the cap only when choosing what to subdivide).
+        self.capacity = max(self.max_voxels, self.outer_count**3)
+
         near, far = float(cfg.dataset.near), float(cfg.dataset.far)
         mean = (near + far) / 2.0
         lo = np.full(3, near - mean, np.float32)
@@ -88,22 +98,22 @@ class TreeSampling:
     # -- padded device state --------------------------------------------------
     def device_state(self) -> TreeState:
         V = len(self.leaves)
-        assert V <= self.max_voxels, f"{V} leaves exceed capacity {self.max_voxels}"
+        assert V <= self.capacity, f"{V} leaves exceed capacity {self.capacity}"
         voxels = np.stack(
             [np.stack([l.lo, l.hi]) for l in self.leaves]
         ).astype(np.float32)
-        pad = self.max_voxels - V
+        pad = self.capacity - V
         if pad:
             pad_box = np.stack(
                 [np.full((3,), _PAD_LO, np.float32), np.full((3,), _PAD_HI, np.float32)]
             )
             voxels = np.concatenate([voxels, np.tile(pad_box, (pad, 1, 1))])
-        active = np.zeros(self.max_voxels, bool)
+        active = np.zeros(self.capacity, bool)
         active[:V] = True
         return TreeState(
             voxels=jnp.asarray(voxels),
             active=jnp.asarray(active),
-            memm=jnp.zeros(self.max_voxels, jnp.float32),
+            memm=jnp.zeros(self.capacity, jnp.float32),
             counter=jnp.ones((), jnp.int32),
         )
 
@@ -142,9 +152,9 @@ class TreeSampling:
         """Leaf arrays padded to capacity so the checkpoint tree has stable
         shapes across consolidations (orbax restores by template)."""
         V = len(self.leaves)
-        lo = np.full((self.max_voxels, 3), _PAD_LO, np.float32)
-        hi = np.full((self.max_voxels, 3), _PAD_HI, np.float32)
-        depth = np.zeros((self.max_voxels,), np.int32)
+        lo = np.full((self.capacity, 3), _PAD_LO, np.float32)
+        hi = np.full((self.capacity, 3), _PAD_HI, np.float32)
+        depth = np.zeros((self.capacity,), np.int32)
         lo[:V] = np.stack([l.lo for l in self.leaves])
         hi[:V] = np.stack([l.hi for l in self.leaves])
         depth[:V] = [l.depth for l in self.leaves]
@@ -246,65 +256,71 @@ def ray_voxel_intersect(
         samples = jax.random.categorical(
             k_vox, logits[:, None, :], axis=-1, shape=(R, samples_count)
         )
-        smin = jnp.take_along_axis(tmin, samples, axis=-1)
-        smax = jnp.take_along_axis(tmax, samples, axis=-1)
+        smin = _onehot_gather(tmin, samples)
+        smax = _onehot_gather(tmax, samples)
         u = jax.random.uniform(k_t, (R, samples_count))
         z_vals = smin + (smax - smin) * u
         voxel_idx = samples
+        # Random path: order the samples by depth (reference: tree.py:337-341).
+        sort_idx = jnp.argsort(z_vals, axis=-1)
+        z_vals = _onehot_gather(z_vals, sort_idx)
+        voxel_idx = _onehot_gather(
+            voxel_idx.astype(jnp.float32), sort_idx
+        ).astype(jnp.int32)
     else:
-        # Deterministic length-proportional sampling (tree.py:298-335):
-        # sort chords by entry t, pack valid ones to the front, distribute
-        # `samples_count` points linearly over the total chord length.
-        order = jnp.argsort(tmin, axis=-1)
-        tmin_s = jnp.take_along_axis(tmin, order, axis=-1)
-        tmax_s = jnp.take_along_axis(tmax, order, axis=-1)
-        mask_s = jnp.take_along_axis(mask, order, axis=-1)
-
-        # Stable "roll valid to front": rank = position among valid entries.
-        valid = mask_s.astype(jnp.int32)
-        rank = jnp.cumsum(valid, axis=-1) - 1  # target slot for each valid chord
+        # Deterministic length-proportional sampling (semantics of the
+        # reference's tree.py:298-335), redesigned for TPU: instead of
+        # sorting/scattering over all V (=1728) voxels per ray — which
+        # dominated the whole train step — valid chords are first COMPACTED
+        # into K slots with a one-hot MXU contraction (K ~ samples_count;
+        # a ray crosses far fewer cells than V), depth-sorted at size K,
+        # and the linspace-over-total-length inverse mapping is built with
+        # K-sized comparison contractions. The output is constructed in
+        # depth order, so the reference's final sort disappears.
         V = mask.shape[-1]
-        slots = jnp.where(mask_s, rank, V - 1)  # dump invalid at the end
-        res_lo = jnp.zeros_like(tmin_s)
-        res_hi = jnp.zeros_like(tmax_s)
-        # scatter: res[slot] = t for valid chords (invalid writes go to a
-        # slot that valid entries may also claim — mask them out first).
-        res_lo = res_lo.at[
-            jnp.arange(R)[:, None], slots
-        ].set(jnp.where(mask_s, tmin_s, 0.0), mode="drop")
-        res_hi = res_hi.at[
-            jnp.arange(R)[:, None], slots
-        ].set(jnp.where(mask_s, tmax_s, 0.0), mode="drop")
-        num_valid = jnp.sum(valid, axis=-1)  # (R,)
-        # Zero any slot beyond num_valid (an invalid write may have landed).
-        slot_ids = jnp.arange(V)[None, :]
-        in_range = slot_ids < num_valid[:, None]
-        res_lo = jnp.where(in_range, res_lo, 0.0)
-        res_hi = jnp.where(in_range, res_hi, 0.0)
+        K = min(V, max(128, samples_count))
 
-        residuals = res_hi - res_lo
+        valid = mask.astype(jnp.int32)
+        rank = jnp.cumsum(valid, axis=-1) - 1  # slot in first-V-index order
+        slots = jnp.where(mask, rank, K)  # invalid -> dropped slot K
+        onehot = jax.nn.one_hot(slots, K + 1, dtype=jnp.float32)[..., :K]  # (R,V,K)
+        big = jnp.asarray(2.0 * _PAD_HI, tmin.dtype)
+        # Compact (invalid slots get lo=hi=big: zero length, sorts to the end).
+        lo_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmin, 0.0), onehot)
+        hi_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmax, 0.0), onehot)
+        ids_k = jnp.einsum(
+            "rv,rvk->rk",
+            jnp.where(mask, jnp.arange(V, dtype=jnp.float32)[None, :], 0.0),
+            onehot,
+        )
+        n_valid = jnp.sum(valid, axis=-1, keepdims=True)  # (R,1)
+        in_use = jnp.arange(K)[None, :] < n_valid
+        lo_k = jnp.where(in_use, lo_k, big)
+        hi_k = jnp.where(in_use, hi_k, big)
+
+        # Depth-sort the K compacted chords (voxels are disjoint, so tmin
+        # order == chord order along the ray).
+        order_k = jnp.argsort(lo_k, axis=-1)
+        lo_k = _onehot_gather(lo_k, order_k)
+        hi_k = _onehot_gather(hi_k, order_k)
+        ids_k = _onehot_gather(ids_k, order_k)
+        lo_k = jnp.where(lo_k >= big, 0.0, lo_k)
+        hi_k = jnp.where(hi_k >= big, 0.0, hi_k)
+
+        residuals = hi_k - lo_k
         cums = jnp.cumsum(residuals, axis=-1)
         total = cums[..., -1:]
         samples = jnp.linspace(0.0, 1.0, samples_count)[None, :] * total  # (R,S)
 
-        cross_idx = _searchsorted_left(cums, samples)  # bucket per sample
-        # First sample landing in each bucket (searchsorted of the indices
-        # over themselves, left side), to get intra-chord offsets.
-        first_in_bucket = _searchsorted_left_int(cross_idx, cross_idx)
-        offset = samples - jnp.take_along_axis(samples, first_in_bucket, axis=-1)
-        z_vals = jnp.take_along_axis(res_lo, cross_idx, axis=-1) + offset
+        bucket = _searchsorted_left(cums, samples)  # (R,S) in [0, K]
+        bucket = jnp.minimum(bucket, K - 1)
+        first_in_bucket = _searchsorted_left_int(bucket, bucket)
+        offset = samples - _onehot_gather(samples, first_in_bucket)
+        z_vals = _onehot_gather(lo_k, bucket) + offset
+        voxel_idx = _onehot_gather(ids_k, bucket).astype(jnp.int32)
+        # Construction order is already depth-sorted (monotone targets over
+        # depth-sorted chords) — no final sort.
 
-        # Map packed slot -> sorted position -> original voxel id
-        # (reference: tree.py:333-335).
-        # inverse of the packing: packed slot s holds the s-th valid sorted chord.
-        sorted_pos = _argsort_positions_of_packed(mask_s, V)
-        pos = jnp.take_along_axis(sorted_pos, cross_idx, axis=-1)
-        voxel_idx = jnp.take_along_axis(order, pos, axis=-1)
-
-    # Final ordering by depth (reference: tree.py:337-341).
-    sort_idx = jnp.argsort(z_vals, axis=-1)
-    z_vals = jnp.take_along_axis(z_vals, sort_idx, axis=-1)
-    voxel_idx = jnp.take_along_axis(voxel_idx, sort_idx, axis=-1)
     return z_vals, voxel_idx, ray_mask
 
 
@@ -321,19 +337,11 @@ def _searchsorted_left_int(seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray
     )
 
 
-def _argsort_positions_of_packed(mask_s: jnp.ndarray, V: int) -> jnp.ndarray:
-    """For each packed slot s, the index (into the t-sorted chord list) of
-    the s-th valid chord. Positions past the valid count point at the last
-    column (harmless: those samples belong to masked rays)."""
-    R = mask_s.shape[0]
-    idx = jnp.arange(V)[None, :].repeat(R, axis=0)
-    rank = jnp.cumsum(mask_s.astype(jnp.int32), axis=-1) - 1
-    slots = jnp.where(mask_s, rank, V - 1)
-    out = jnp.zeros_like(idx)
-    out = out.at[jnp.arange(R)[:, None], slots].set(
-        jnp.where(mask_s, idx, 0), mode="drop"
-    )
-    return out
+def _onehot_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """values (R, K) gathered at idx (R, S) -> (R, S) via a one-hot MXU
+    contraction (XLA's per-element gather is the slow path on TPU)."""
+    onehot = jax.nn.one_hot(idx, values.shape[-1], dtype=values.dtype)
+    return jnp.einsum("rsk,rk->rs", onehot, values)
 
 
 @jax.jit
@@ -351,13 +359,11 @@ def integrate(
     """
     V = state.memm.shape[0]
     rm = ray_mask[:, None].astype(weights.dtype)
-    flat_idx = voxel_idx.reshape(-1)
-    acc = jax.ops.segment_sum(
-        (weights * rm).reshape(-1), flat_idx, num_segments=V
-    )
-    freq = jax.ops.segment_sum(
-        (mask_weights * rm).reshape(-1), flat_idx, num_segments=V
-    )
+    # One-hot contraction instead of segment_sum: TPU scatter-add over 393k
+    # elements is the slow path; the (R*S, V) masked reduce rides the MXU.
+    onehot = jax.nn.one_hot(voxel_idx.reshape(-1), V, dtype=weights.dtype)
+    acc = jnp.einsum("nv,n->v", onehot, (weights * rm).reshape(-1))
+    freq = jnp.einsum("nv,n->v", onehot, (mask_weights * rm).reshape(-1))
     hit = freq > 0
     delta = jnp.where(hit, acc / jnp.where(hit, freq, 1.0) - state.memm, 0.0)
     memm = state.memm + delta / state.counter.astype(jnp.float32)

@@ -17,11 +17,12 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
 from nerfmeshes_tpu.ops.rays import ndc_rays
-from nerfmeshes_tpu.parallel.mesh import shard_rays
+from nerfmeshes_tpu.parallel.mesh import DATA_AXIS, shard_rays
 from nerfmeshes_tpu.train.render import RenderSettings, render_rays
 
 
@@ -52,7 +53,12 @@ def _sample_ray_batch(
     if intrinsics is None:
         intrinsics = CameraIntrinsics.from_hwf(H, W, focal)
 
-    k_img, k_pix = jax.random.split(key)
+    if getattr(key, "ndim", 0) == 1:
+        # Pre-split (k_img, k_pix) pair: the sharded path replicates the
+        # image choice but folds the shard index into the pixel choice.
+        k_img, k_pix = key[0], key[1]
+    else:
+        k_img, k_pix = jax.random.split(key)
     num_images = data["poses"].shape[0]
     img = jax.random.randint(k_img, (), 0, num_images)
     pix = jax.random.randint(k_pix, (num_rays,), 0, H * W)
@@ -100,11 +106,6 @@ def make_train_step(
     matching per-step logging cadence).
     """
     settings = RenderSettings.from_cfg(cfg, train=True)
-    if mesh is not None:
-        # The Pallas kernel is not SPMD-partitionable by the XLA sharding
-        # pass; the sharded path uses the XLA MLPs (grad psum comes from
-        # the partitioner).
-        settings = settings._replace(use_fused_kernel=False)
     num_rays = int(cfg.nerf.train.num_random_rays)
     use_ndc = bool(cfg.dataset.use_ndc)
     use_fine = settings.use_fine and fine_model is not None
@@ -146,22 +147,46 @@ def make_train_step(
         metrics["train/loss"] = loss
         return loss, metrics
 
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if num_rays % max(n_shards, 1) != 0:
+        raise ValueError(
+            f"num_random_rays {num_rays} must divide the mesh size {n_shards}"
+        )
+    local_rays = num_rays // max(n_shards, 1)
+
     def one_step(state: TrainState, data) -> tuple[TrainState, dict]:
+        """Per-device step body. Under shard_map each device samples its own
+        `local_rays` pixel slice of the SAME image (key folded with the mesh
+        axis index), computes local grads, and psums them — data parallelism
+        over rays with replicated params, grads reduced over ICI."""
         key, k_sample, k_render = jax.random.split(state.key, 3)
+        if n_shards > 1:
+            shard = jax.lax.axis_index(DATA_AXIS)
+            k_img, k_pix = jax.random.split(k_sample)
+            k_pix = jax.random.fold_in(k_pix, shard)
+            k_sample = _merge_img_pix_keys(k_img, k_pix)
+            k_render = jax.random.fold_in(k_render, shard)
         origins, directions, targets, near, far = _sample_ray_batch(
             data,
             k_sample,
             H=H,
             W=W,
             focal=focal,
-            num_rays=num_rays,
+            num_rays=local_rays,
             use_ndc=use_ndc,
-            mesh=mesh,
+            mesh=None,
             intrinsics=intrinsics,
         )
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, origins, directions, targets, near, far, k_render
         )
+        if n_shards > 1:
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, DATA_AXIS), grads
+            )
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.pmean(m, DATA_AXIS), metrics
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["train/lr"] = schedule(state.step)
@@ -179,7 +204,30 @@ def make_train_step(
         # Report the last step's metrics.
         return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
-    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # Everything (params, data) is replicated; the ray axis materializes
+    # only inside the per-device body, so Pallas kernels run as-is per
+    # device and the only collective is the gradient/metric pmean.
+    sharded = shard_map(
+        multi_step,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def _merge_img_pix_keys(k_img: jax.Array, k_pix: jax.Array) -> jax.Array:
+    """Stack (k_img, k_pix) into the pre-split pair _sample_ray_batch
+    accepts — keeps the image choice replicated across shards while the
+    pixel choice varies per shard."""
+    return jnp.stack([k_img, k_pix])
 
 
 def make_render_chunk(cfg, coarse_model, fine_model, *, train: bool = False):

@@ -1,0 +1,92 @@
+"""Sharded training tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nerfmeshes_tpu.config import load_config
+from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+from nerfmeshes_tpu.parallel.mesh import create_mesh, replicated
+from nerfmeshes_tpu.train.optim import build_optimizer
+from nerfmeshes_tpu.train.step import init_train_state, make_train_step
+from nerfmeshes_tpu.train.system import create_models, init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.experiment.steps_per_call = 5
+    cfg.nerf.train.num_random_rays = 256  # divisible by 8
+    cfg.experiment.use_fused_kernel = False  # interpret-mode pallas is slow
+    ds = SyntheticDataset(cfg, DatasetType.TRAIN, num_images=4, image_size=16)
+    data = ds.device_arrays()
+    H, W, focal = ds.hwf
+    coarse, fine = create_models(cfg)
+    opt = build_optimizer(cfg)
+    params = init_params(cfg, coarse, fine, jax.random.key(0))
+    return cfg, ds, data, (int(H), int(W), float(focal)), coarse, fine, opt, params
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_runs_and_learns(setup):
+    cfg, ds, data, (H, W, focal), coarse, fine, opt, params = setup
+    mesh = create_mesh()
+    assert int(np.prod(mesh.devices.shape)) == 8
+
+    rep = replicated(mesh)
+    state = jax.device_put(init_train_state(params, opt, 0), rep)
+    data_r = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), data)
+
+    fn = make_train_step(
+        cfg, coarse, fine, opt, H=H, W=W, focal=focal, mesh=mesh, donate=False
+    )
+    state, m0 = fn(state, data_r)
+    first = float(m0["train/loss"])
+    for _ in range(9):
+        state, m = fn(state, data_r)
+    last = float(m["train/loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    # Untrained loss on this scene is ~0.19; converged-ish is well below.
+    # (last < first is too noisy at 256 rays/step.)
+    assert last < 0.12
+    assert int(state.step) == 50
+
+
+def test_sharded_matches_single_device_loss_scale(setup):
+    """Sharded and unsharded steps must optimize the same objective: after
+    the same number of steps from the same init, losses land in the same
+    ballpark (different pixel draws, same distribution)."""
+    cfg, ds, data, (H, W, focal), coarse, fine, opt, params = setup
+    mesh = create_mesh()
+    rep = replicated(mesh)
+
+    fn_sharded = make_train_step(
+        cfg, coarse, fine, opt, H=H, W=W, focal=focal, mesh=mesh, donate=False
+    )
+    fn_single = make_train_step(
+        cfg, coarse, fine, opt, H=H, W=W, focal=focal, mesh=None, donate=False
+    )
+
+    s_sh = jax.device_put(init_train_state(params, opt, 0), rep)
+    data_r = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), data)
+    s_si = init_train_state(params, opt, 0)
+
+    for _ in range(6):
+        s_sh, m_sh = fn_sharded(s_sh, data_r)
+        s_si, m_si = fn_single(s_si, data)
+    l_sh, l_si = float(m_sh["train/loss"]), float(m_si["train/loss"])
+    assert l_sh < 0.15 and l_si < 0.15
+    assert abs(np.log(l_sh / l_si)) < 1.5  # same objective scale
+
+
+def test_graft_dryrun():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft", "/root/repo/__graft_entry__.py")
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    g.dryrun_multichip(8)
