@@ -40,6 +40,62 @@ class MeshArgs:
     mesh_name: str = "mesh.obj"
 
 
+def _grid_eval(
+    sample_points_fn, limit: float, nums, *, channels: int, tile: int
+) -> np.ndarray:
+    """Evaluate the field over the dense grid entirely on device.
+
+    Grid coordinates are synthesized from flat indices inside ONE jitted
+    lax.map over tiles, and a single host transfer returns the result —
+    the reference's per-1024-point host loop (src/mesh_nerf.py:43) becomes
+    1688 tunnel round-trips at 480^3 and took minutes; this takes seconds.
+    """
+    nx, ny, nz = nums
+    n = nx * ny * nz
+    n_tiles = -(-n // tile)
+    sx = 2.0 * limit / max(nx - 1, 1)
+    sy = 2.0 * limit / max(ny - 1, 1)
+    sz = 2.0 * limit / max(nz - 1, 1)
+
+    @jax.jit
+    def eval_all():
+        def tile_fn(i):
+            idx = i * tile + jnp.arange(tile)
+            x = idx // (ny * nz)
+            rem = idx % (ny * nz)
+            y = rem // nz
+            z = rem % nz
+            pts = jnp.stack(
+                [
+                    -limit + x.astype(jnp.float32) * sx,
+                    -limit + y.astype(jnp.float32) * sy,
+                    -limit + z.astype(jnp.float32) * sz,
+                ],
+                axis=-1,
+            )
+            out = sample_points_fn(pts, pts)
+            return out[..., 3] if channels == 1 else out
+
+        # f16 on the wire: the device->host link is the bottleneck at
+        # 480^3 (442MB f32); half precision is ample for iso-surfacing.
+        return jax.lax.map(tile_fn, jnp.arange(n_tiles)).astype(jnp.float16)
+
+    out = np.asarray(eval_all())
+    out = out.reshape(n_tiles * tile, -1)[:n]
+    shape = (*nums, channels) if channels > 1 else tuple(nums)
+    return out.reshape(shape).astype(np.float32)
+
+
+def extract_density(
+    sample_points_fn, limit: float, nums, *, tile: int = 262144
+) -> np.ndarray:
+    """Density-only grid (nx, ny, nz) — what geometry extraction needs;
+    transfers 4x less than the full radiance grid."""
+    if isinstance(nums, int):
+        nums = (nums,) * 3
+    return _grid_eval(sample_points_fn, limit, tuple(nums), channels=1, tile=tile)
+
+
 def extract_radiance(
     sample_points_fn,
     limit: float,
@@ -47,30 +103,13 @@ def extract_radiance(
     *,
     tile: int = 65536,
 ) -> np.ndarray:
-    """Evaluate the radiance field on a dense grid -> (nx, ny, nz, 4).
-
-    sample_points_fn(points (N,3), dirs (N,3)) -> (N,4); jitted once for a
-    fixed tile size, grid streamed through it (reference loops 1024-point
-    batches through the model, src/mesh_nerf.py:27-53 — here the tile is
-    64k points so the MXU stays fed).
-    """
+    """Full radiance grid -> (nx, ny, nz, 4) (API parity with the
+    reference's extract_radiance, src/mesh_nerf.py:27-53; geometry paths
+    use extract_density instead)."""
     if isinstance(nums, int):
         nums = (nums,) * 3
     assert len(nums) == 3
-
-    axes = [np.linspace(-limit, limit, n, dtype=np.float32) for n in nums]
-    grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
-
-    fn = jax.jit(sample_points_fn)
-    out = np.empty((grid.shape[0], 4), np.float32)
-    for start in range(0, grid.shape[0], tile):
-        chunk = grid[start : start + tile]
-        pad = tile - chunk.shape[0]
-        if pad:
-            chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
-        res = np.asarray(fn(jnp.asarray(chunk), jnp.asarray(chunk)))
-        out[start : start + tile - pad] = res[: tile - pad]
-    return out.reshape(*nums, 4)
+    return _grid_eval(sample_points_fn, limit, tuple(nums), channels=4, tile=tile)
 
 
 def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
@@ -85,8 +124,7 @@ def extract_geometry(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(vertices in world coords, triangles, normals, density grid)
     (reference: src/mesh_nerf.py:68-92)."""
-    radiance = extract_radiance(sample_points_fn, args.limit, args.res)
-    density = radiance[..., 3]
+    density = extract_density(sample_points_fn, args.limit, args.res)
     iso_value = extract_iso_level(density, args.iso_level)
     vertices, triangles, normals = marching_cubes(density, iso_value)
     # Grid-index -> world coords in (-limit, limit).
@@ -113,8 +151,7 @@ def extract_geometry_with_super_sampling(
     for axis in range(3):
         nums = [base, base, base]
         nums[axis] = dense
-        radiance = extract_radiance(sample_points_fn, args.limit, tuple(nums))
-        density = radiance[..., 3]
+        density = extract_density(sample_points_fn, args.limit, tuple(nums))
         # Average the super-sampled axis back to base resolution: sample i
         # covers fine indices [i*(s+1) - s/2, ...]; use strided mean.
         fine = np.moveaxis(density, axis, 0)
