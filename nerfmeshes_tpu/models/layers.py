@@ -259,6 +259,119 @@ class SirenModule(nn.Module):
         return jnp.sin(jnp.dot(x, kernel) + bias)
 
 
+class SirenModuleNormal(nn.Module):
+    """sin(linear(x)) with N(0, mult) kernel init
+    (reference: src/nerf/modules.py:308-315)."""
+
+    out_features: int
+    weight_multiplier: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.normal(k, s) * self.weight_multiplier,
+            (in_features, self.out_features),
+        )
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(
+                k, s, jnp.float32, -1 / math.sqrt(in_features), 1 / math.sqrt(in_features)
+            ),
+            (self.out_features,),
+        )
+        return jnp.sin(jnp.dot(x, kernel) + bias)
+
+
+class SirenModuleExp(nn.Module):
+    """sin(linear(x)) with 2^U(-mult, mult) kernel init
+    (reference: src/nerf/modules.py:318-326)."""
+
+    out_features: int
+    weight_multiplier: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            lambda k, s: 2.0
+            ** jax.random.uniform(
+                k, s, jnp.float32, -self.weight_multiplier, self.weight_multiplier
+            ),
+            (in_features, self.out_features),
+        )
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(
+                k, s, jnp.float32, -1 / math.sqrt(in_features), 1 / math.sqrt(in_features)
+            ),
+            (self.out_features,),
+        )
+        return jnp.sin(jnp.dot(x, kernel) + bias)
+
+
+class PotCoSirenModule(nn.Module):
+    """[sin, cos](linear(x)) with power-of-two kernel init
+    (reference: src/nerf/modules.py:329-339)."""
+
+    out_features: int
+    weight_multiplier: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            lambda k, s: 2.0
+            ** jax.random.uniform(
+                k, s, jnp.float32, -self.weight_multiplier, self.weight_multiplier
+            ),
+            (in_features, self.out_features // 2),
+        )
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(
+                k, s, jnp.float32, -1 / math.sqrt(in_features), 1 / math.sqrt(in_features)
+            ),
+            (self.out_features // 2,),
+        )
+        proj = jnp.dot(x, kernel) + bias
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+class Embbed2(nn.Module):
+    """Trainable diagonal-frequency Fourier embedding with amplitude
+    (reference: src/nerf/modules.py:369-383)."""
+
+    out_features: int
+    weight_multiplier: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+
+        def init_b(key, shape):
+            bands = 2.0 ** jnp.linspace(
+                0.0, self.weight_multiplier, self.out_features // in_features
+            ) - 1.0
+            eye = jnp.eye(in_features)
+            return (eye * bands[:, None, None]).reshape(self.out_features, in_features).T
+
+        b = self.param("b", init_b, (in_features, self.out_features))
+        a = self.param("a", lambda k, s: jnp.ones(s), (self.out_features,))
+        proj = jnp.dot(x, b)
+        return jnp.concatenate([a * jnp.sin(proj), a * jnp.cos(proj)], axis=-1)
+
+    def output_size(self) -> int:
+        return 2 * self.out_features
+
+
 class CoSirenModule(nn.Module):
     """[sin, cos](linear(x)) - pi/4 (reference: src/nerf/modules.py:342-351)."""
 

@@ -298,3 +298,31 @@ def test_colmap_convert_poses(tmp_path):
     bounds = pb[:, 15:]
     assert (bounds[:, 0] < bounds[:, 1]).all()
     assert (bounds > 0).all()  # points sit in front of every camera
+
+
+def test_llff_ndc_end_to_end_training(llff_root):
+    """Train 30 steps on the synthetic LLFF scene through the full NDC
+    pipeline (per-image bounds, use_ndc ray transform in the jitted step)."""
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.train.system import NeRFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.dataset.type = "colmap"
+    cfg.dataset.basedir = str(llff_root)
+    cfg.dataset.use_ndc = True
+    cfg.dataset.near = 0.0
+    cfg.dataset.far = 1.0
+    cfg.dataset.llff_downsample_factor = 2
+    cfg.dataset.llff_hold_step = 3
+    cfg.experiment.train_iters = 30
+    cfg.experiment.validate_every = 30
+    cfg.experiment.steps_per_call = 5
+    cfg.nerf.train.num_random_rays = 128
+
+    system = NeRFSystem(cfg)
+    system.setup()
+    m = system.validate(log_images=False)
+    system.fit()
+    assert int(system.state.step) == 30
+    m2 = system.validate(log_images=False)
+    assert np.isfinite(m2["validation/loss"])

@@ -123,3 +123,22 @@ def test_flexible_grad_flow(rng):
 def test_build_model_ignores_unknown_cfg_keys():
     model = build_model("FlexibleNeRFModel", {"hidden_size": 32, "encoding": "positional", "num_layers_view": -1})
     assert model.hidden_size == 32
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["SirenModule", "SirenModuleNormal", "SirenModuleExp", "PotCoSirenModule",
+     "CoSirenModule", "Embbed2"],
+)
+def test_experimental_encoders(rng, name):
+    import nerfmeshes_tpu.models as M
+
+    cls = getattr(M, name)
+    mod = cls(32)
+    x = jnp.asarray(rng.standard_normal((7, 4)).astype(np.float32))
+    params = mod.init(jax.random.key(0), x)
+    out = mod.apply(params, x)
+    # Embbed2 emits [a*sin, a*cos] of the full projection: 2x out_features.
+    expect = 64 if name == "Embbed2" else 32
+    assert out.shape == (7, expect)
+    assert bool(jnp.all(jnp.abs(out) <= 32.0 + 1e-4))  # bounded-ish outputs
