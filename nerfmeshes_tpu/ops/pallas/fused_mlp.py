@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024
-TILE_BWD = 512  # backward holds the activation stash in VMEM
+TILE_BWD = 1024  # backward holds the (bf16) activation stash in VMEM
 
 
 def _round_up(x: int, m: int) -> int:
@@ -428,22 +428,51 @@ def supports_fused(model) -> bool:
     )
 
 
+def _pe_padded(x, num_fn, include_input, log_sampling, width: int):
+    """Positional encoding emitted directly at the lane-padded width in
+    bf16 — avoids the separate pad-copy + convert passes the profiler
+    showed around the kernel."""
+    from nerfmeshes_tpu.ops.encoding import frequency_bands
+
+    bands = jnp.asarray(frequency_bands(num_fn, log_sampling), dtype=x.dtype)
+    scaled = (x[..., None] * bands).reshape(*x.shape[:-1], -1)
+    parts = [x] if include_input else []
+    parts += [jnp.sin(scaled), jnp.cos(scaled)]
+    used = sum(p.shape[-1] for p in parts)
+    if width > used:
+        parts.append(jnp.zeros((*x.shape[:-1], width - used), x.dtype))
+    return jnp.concatenate(parts, axis=-1).astype(jnp.bfloat16)
+
+
 def fused_flexible_apply(model, params, ray_points, ray_directions):
     """Drop-in for model.apply(params, points, dirs) on a FlexibleNeRFModel,
     through the fused kernel. Differentiable w.r.t. params (padding/cast in
     params_to_flat are linear, so autodiff maps kernel weight-grads back to
-    the flax tree)."""
-    from nerfmeshes_tpu.ops.encoding import positional_encoding
+    the flax tree).
 
+    ray_directions may have one fewer batch dim than ray_points (per-ray
+    dirs): the dir PE is then computed per ray and broadcast per sample —
+    sin/cos on R rows instead of R*S."""
     spec = spec_from_model(model)
     pts = ray_points.reshape(-1, 3)
-    dirs = ray_directions.reshape(-1, 3)
-    pe_x = positional_encoding(
-        pts, model.num_encoding_fn_xyz, model.include_input_xyz, model.log_sampling_xyz
+    pe_x = _pe_padded(
+        pts, model.num_encoding_fn_xyz, model.include_input_xyz,
+        model.log_sampling_xyz, spec.pe_x_pad,
     )
-    pe_d = positional_encoding(
-        dirs, model.num_encoding_fn_dir, model.include_input_dir, model.log_sampling_dir
-    )
+    if ray_directions.ndim == ray_points.ndim - 1:
+        pe_d_rays = _pe_padded(
+            ray_directions.reshape(-1, 3), model.num_encoding_fn_dir,
+            model.include_input_dir, model.log_sampling_dir, spec.pe_d_pad,
+        )
+        samples = ray_points.shape[-2]
+        pe_d = jnp.broadcast_to(
+            pe_d_rays[:, None, :], (pe_d_rays.shape[0], samples, spec.pe_d_pad)
+        ).reshape(-1, spec.pe_d_pad)
+    else:
+        pe_d = _pe_padded(
+            ray_directions.reshape(-1, 3), model.num_encoding_fn_dir,
+            model.include_input_dir, model.log_sampling_dir, spec.pe_d_pad,
+        )
     flat = params_to_flat(spec, params)
     out = fused_mlp(spec, pe_x, pe_d, flat)
     return out.reshape(*ray_points.shape[:-1], 4)

@@ -47,12 +47,14 @@ class RenderSettings(NamedTuple):
         )
 
 
-def _apply_field(model, params, points, directions, use_fused: bool = False):
+def _apply_field(model, params, points, directions, use_fused: bool = False,
+                 ray_directions=None):
     """Run a radiance-field model; unwrap (field, aux) tuples
     (SpecularSimpleModel returns a tuple, see src/models/model_base.py:69-72).
 
     With `use_fused`, eligible models (the FlexibleNeRF family) run through
-    the fused Pallas MLP kernel instead of flax apply."""
+    the fused Pallas MLP kernel instead of flax apply; `ray_directions`
+    (per-ray, unexpanded) lets it encode view dirs once per ray."""
     if use_fused:
         from nerfmeshes_tpu.ops.pallas.fused_mlp import (
             fused_flexible_apply,
@@ -60,7 +62,8 @@ def _apply_field(model, params, points, directions, use_fused: bool = False):
         )
 
         if supports_fused(model):
-            return fused_flexible_apply(model, params, points, directions)
+            d = ray_directions if ray_directions is not None else directions
+            return fused_flexible_apply(model, params, points, d)
     out = model.apply(params, points, directions)
     if isinstance(out, tuple):
         out = out[0]
@@ -111,7 +114,7 @@ def render_rays(
 
     coarse_field = _apply_field(
         coarse_model, params["coarse"], points, dirs,
-        use_fused=settings.use_fused_kernel,
+        use_fused=settings.use_fused_kernel, ray_directions=ray_directions,
     )
     noise_std = settings.radiance_field_noise_std if train else 0.0
     coarse_bundle = volume_render(
@@ -138,7 +141,7 @@ def render_rays(
         dirs = jnp.broadcast_to(ray_directions[..., None, :], points.shape)
         fine_field = _apply_field(
             fine_model, params["fine"], points, dirs,
-            use_fused=settings.use_fused_kernel,
+            use_fused=settings.use_fused_kernel, ray_directions=ray_directions,
         )
         fine_bundle = volume_render(
             fine_field,
