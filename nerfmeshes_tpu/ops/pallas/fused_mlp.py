@@ -206,10 +206,16 @@ def _fwd_kernel(spec: MLPSpec, n_weights: int, *refs):
 
 
 def _bwd_kernel(spec: MLPSpec, n_weights: int, *refs):
-    """Recompute forward; accumulate dW/db across the sequential grid."""
+    """Recompute forward; accumulate dW/db across the sequential grid.
+
+    Accumulation runs in VMEM scratch (persistent across the sequential
+    TPU grid) and flushes to the HBM outputs once, on the last step —
+    read-modify-write of ~2.3MB of grads per grid step would otherwise
+    ride HBM."""
     pe_x_ref, pe_d_ref, g_ref = refs[0], refs[1], refs[2]
     w_refs = refs[3 : 3 + n_weights]
-    grad_refs = refs[3 + n_weights :]
+    grad_refs = refs[3 + n_weights : 3 + 2 * n_weights]
+    acc_refs = refs[3 + 2 * n_weights :]
     ws = [r[:] for r in w_refs]
     pe_x = pe_x_ref[:]
     pe_d = pe_d_ref[:]
@@ -307,24 +313,25 @@ def _bwd_kernel(spec: MLPSpec, n_weights: int, *refs):
     assert idx_w == 0
 
     first = pl.program_id(0) == 0
-    for gref, gval in zip(grad_refs, grads):
-        gval = gval.reshape(gref.shape)
+    last = pl.program_id(0) == pl.num_programs(0) - 1
+    for gref, acc, gval in zip(grad_refs, acc_refs, grads):
+        gval = gval.reshape(acc.shape)
 
         @pl.when(first)
-        def _(gref=gref, gval=gval):
-            gref[...] = gval
+        def _(acc=acc, gval=gval):
+            acc[...] = gval
 
         @pl.when(jnp.logical_not(first))
-        def _(gref=gref, gval=gval):
-            gref[...] = gref[...] + gval
+        def _(acc=acc, gval=gval):
+            acc[...] = acc[...] + gval
+
+        @pl.when(last)
+        def _(gref=gref, acc=acc):
+            gref[...] = acc[...]
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
-
-
-def _relu_mask_fix(spec):
-    pass  # placeholder (documented quirk below)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -386,12 +393,14 @@ def _fused_mlp_bwd(spec: MLPSpec, residuals, g):
         )
         out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
 
+    scratch_shapes = [pltpu.VMEM(w.shape, jnp.float32) for w in flat_weights]
     grads = pl.pallas_call(
         functools.partial(_bwd_kernel, spec, n_w),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
     )(pe_x_p, pe_d_p, g_p, *flat_weights)
 
