@@ -120,6 +120,7 @@ def make_buff_train_step(
     settings = RenderSettings.from_cfg(cfg, train=True)
     num_rays = int(cfg.nerf.train.num_random_rays)
     use_ndc = bool(cfg.dataset.use_ndc)
+    sample_all = bool(cfg.nerf.train.get("sample_all_images", False))
     use_random = bool(cfg.tree.use_random_sampling)
     offset = int(cfg.tree.step_size_integration_offset)
     if steps_per_call is None:
@@ -163,6 +164,7 @@ def make_buff_train_step(
         origins, directions, targets, near, far = _sample_ray_batch(
             data, k_sample, H=H, W=W, focal=focal, num_rays=num_rays,
             use_ndc=use_ndc, mesh=mesh, intrinsics=intrinsics,
+            sample_all_images=sample_all,
         )
         grads, aux = jax.grad(loss_fn, has_aux=True)(
             state.params["coarse"],

@@ -133,6 +133,9 @@ def _nerf_mode_defaults(train: bool) -> dict:
     }
     if train:
         d["num_random_rays"] = 2048
+        # sample every ray from the global (image, pixel) pool instead of
+        # one image per step (decorrelates batches; off = reference scheme).
+        d["sample_all_images"] = False
     else:
         d["num_samples"] = 1
     return d

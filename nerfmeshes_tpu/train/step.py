@@ -43,11 +43,15 @@ def init_train_state(params, optimizer, seed: int) -> TrainState:
 
 
 def _sample_ray_batch(
-    data, key, *, H, W, focal, num_rays, use_ndc, mesh, intrinsics=None
+    data, key, *, H, W, focal, num_rays, use_ndc, mesh, intrinsics=None,
+    sample_all_images: bool = False,
 ):
     """On-device replacement for DataLoader workers + batch_random_sampling
     (reference: src/data/data_helpers.py:40-51): pick one image, then
-    `num_rays` random pixels of it, and build their world rays from the pose."""
+    `num_rays` random pixels of it, and build their world rays from the pose.
+    With `sample_all_images`, rays draw from the global (image, pixel) pool
+    instead (the knob the reference's caching config gestures at with
+    `sample_all`)."""
     from nerfmeshes_tpu.ops.rays import CameraIntrinsics, pixel_directions
 
     if intrinsics is None:
@@ -60,17 +64,34 @@ def _sample_ray_batch(
     else:
         k_img, k_pix = jax.random.split(key)
     num_images = data["poses"].shape[0]
-    img = jax.random.randint(k_img, (), 0, num_images)
-    pix = jax.random.randint(k_pix, (num_rays,), 0, H * W)
-
-    pose = data["poses"][img]
-    targets = data["targets"][img].reshape(H * W, -1)[pix]
+    if sample_all_images:
+        # Global ray pool: every ray draws its own (image, pixel) — decorrelates
+        # the batch vs the reference's one-image-per-step scheme. Poses are
+        # gathered per ray via a one-hot contraction (tiny: N_img x 16).
+        img = jax.random.randint(k_img, (num_rays,), 0, num_images)
+        pix = jax.random.randint(k_pix, (num_rays,), 0, H * W)
+        onehot = jax.nn.one_hot(img, num_images, dtype=jnp.float32)
+        pose = jnp.einsum(
+            "rn,nij->rij", onehot, data["poses"].astype(jnp.float32)
+        )  # (R, 4, 4)
+        targets = data["targets"].reshape(num_images * H * W, -1)[
+            img * (H * W) + pix
+        ]
+    else:
+        img = jax.random.randint(k_img, (), 0, num_images)
+        pix = jax.random.randint(k_pix, (num_rays,), 0, H * W)
+        pose = data["poses"][img]
+        targets = data["targets"][img].reshape(H * W, -1)[pix]
 
     x = (pix % W).astype(jnp.float32)
     y = (pix // W).astype(jnp.float32)
     dirs_cam = pixel_directions(x, y, intrinsics)
-    directions = jnp.einsum("ij,rj->ri", pose[:3, :3], dirs_cam)
-    origins = jnp.broadcast_to(pose[:3, 3], directions.shape)
+    if pose.ndim == 3:  # per-ray poses (sample_all_images)
+        directions = jnp.einsum("rij,rj->ri", pose[:, :3, :3], dirs_cam)
+        origins = pose[:, :3, 3]
+    else:
+        directions = jnp.einsum("ij,rj->ri", pose[:3, :3], dirs_cam)
+        origins = jnp.broadcast_to(pose[:3, 3], directions.shape)
 
     bounds = data["bounds"]
     if bounds.ndim == 2:
@@ -108,6 +129,7 @@ def make_train_step(
     settings = RenderSettings.from_cfg(cfg, train=True)
     num_rays = int(cfg.nerf.train.num_random_rays)
     use_ndc = bool(cfg.dataset.use_ndc)
+    sample_all = bool(cfg.nerf.train.get("sample_all_images", False))
     use_fine = settings.use_fine and fine_model is not None
     lr_schedule_cfg = cfg  # captured for lr metric
     if steps_per_call is None:
@@ -176,6 +198,7 @@ def make_train_step(
             use_ndc=use_ndc,
             mesh=None,
             intrinsics=intrinsics,
+            sample_all_images=sample_all,
         )
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, origins, directions, targets, near, far, k_render

@@ -80,3 +80,31 @@ def test_sample_points(trained):
     pts = jnp.zeros((5, 3))
     out = system.sample_points(pts, pts)
     assert out.shape == (5, 4)
+
+
+def test_sample_all_images_mode(tiny_cfg):
+    """Global-ray-pool sampling trains and uses per-ray poses/bounds."""
+    import jax
+
+    from nerfmeshes_tpu.train.optim import build_optimizer
+    from nerfmeshes_tpu.train.step import init_train_state, make_train_step
+    from nerfmeshes_tpu.train.system import create_models, init_params
+
+    cfg = tiny_cfg.clone()
+    cfg.nerf.train.sample_all_images = True
+    cfg.experiment.steps_per_call = 5
+    ds = SyntheticDataset(cfg, DatasetType.TRAIN, num_images=4, image_size=16)
+    data = ds.device_arrays()
+    H, W, focal = ds.hwf
+    coarse, fine = create_models(cfg)
+    opt = build_optimizer(cfg)
+    params = init_params(cfg, coarse, fine, jax.random.key(0))
+    state = init_train_state(params, opt, 0)
+    fn = make_train_step(cfg, coarse, fine, opt, H=int(H), W=int(W), focal=float(focal), donate=False)
+    first = None
+    for _ in range(10):
+        state, m = fn(state, data)
+        if first is None:
+            first = float(m["train/loss"])
+    assert np.isfinite(float(m["train/loss"]))
+    assert float(m["train/loss"]) < max(first, 0.2)
