@@ -90,7 +90,6 @@ def params_to_flat(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
     0: layer1, 1..num_layers-1: trunk, then feat, alpha, dir, rgb.
     """
     p = params["params"] if "params" in params else params
-    n_lin = spec.num_layers + 4  # layer1 + (num_layers-1) trunk + 4 heads
 
     def get(i):
         leaf = p[f"TorchLinear_{i}"]
@@ -220,7 +219,7 @@ def _bwd_kernel(spec: MLPSpec, n_weights: int, *refs):
     pe_x = pe_x_ref[:]
     pe_d = pe_d_ref[:]
 
-    out, acts = _forward_tile(spec, pe_x, pe_d, ws, save_acts=True)
+    _, acts = _forward_tile(spec, pe_x, pe_d, ws, save_acts=True)
 
     def pos(v):
         # Mosaic has no bf16 vector compare; mask in f32.

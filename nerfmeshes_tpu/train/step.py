@@ -6,8 +6,8 @@ to the device inside a Python loop, here the entire dataset lives in HBM
 and ONE jitted program per step does: sample an image + random pixels,
 generate the rays, run coarse→PDF→fine rendering, compute losses, and apply
 the optimizer update — optionally lax.scan-ed over `steps_per_call` steps
-to amortize dispatch. Rays are sharded over the device mesh; params are
-replicated and XLA inserts the gradient psum.
+to amortize dispatch. Multi-chip runs wrap the same body in shard_map:
+per-device ray slices, pmean of grads/metrics over ICI, replicated params.
 """
 
 from __future__ import annotations
