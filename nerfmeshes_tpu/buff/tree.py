@@ -22,7 +22,7 @@ TPU redesign of the reference's TreeSampling (src/nerf/tree.py:39-358):
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax

@@ -8,7 +8,6 @@ tetrahedra if no compiler is available, so the mesh path always works.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Tuple

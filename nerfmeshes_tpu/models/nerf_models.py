@@ -13,7 +13,7 @@ src/models/model_nerf.py:10-19).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,9 @@ top-3 by validation loss plus always-keep-latest, under
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from nerfmeshes_tpu.train.step import TrainState

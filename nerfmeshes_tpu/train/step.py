@@ -12,7 +12,6 @@ per-device ray slices, pmean of grads/metrics over ICI, replicated params.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax

@@ -19,11 +19,10 @@ import numpy as np
 from nerfmeshes_tpu.config.paths import ExperimentPaths
 from nerfmeshes_tpu.data.datasets import DatasetType, RayDataset, build_dataset
 from nerfmeshes_tpu.models import build_model
-from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
+from nerfmeshes_tpu.ops.math import mse2psnr
 from nerfmeshes_tpu.train.checkpoint import CheckpointManager
 from nerfmeshes_tpu.train.optim import build_optimizer
 from nerfmeshes_tpu.train.step import (
-    TrainState,
     init_train_state,
     make_render_chunk,
     make_train_step,

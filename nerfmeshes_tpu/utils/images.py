@@ -4,7 +4,7 @@ export_point_cloud — src/nerf/nerf_helpers.py:114-181,142-152)."""
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 
