@@ -30,7 +30,7 @@ from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
 from nerfmeshes_tpu.ops.rays import intervals_to_ray_points
 from nerfmeshes_tpu.ops.render import volume_render
 from nerfmeshes_tpu.ops.sampling import ray_sample_interval
-from nerfmeshes_tpu.train.render import RenderSettings
+from nerfmeshes_tpu.train.render import RenderSettings, _apply_field
 from nerfmeshes_tpu.train.step import TrainState, _sample_ray_batch
 from nerfmeshes_tpu.train.system import NeRFSystem
 
@@ -81,9 +81,10 @@ def buff_render_rays(
 
     points = intervals_to_ray_points(intervals, directions, origins_b)
     dirs = jnp.broadcast_to(directions[..., None, :], points.shape)
-    field = model.apply(params, points, dirs)
-    if isinstance(field, tuple):
-        field = field[0]
+    field = _apply_field(
+        model, params, points, dirs,
+        use_fused=settings.use_fused_kernel, ray_directions=directions,
+    )
     bundle = volume_render(
         field,
         intervals,

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--use-profiler", action="store_true", default=False,
         help="Capture a jax.profiler trace of the first training steps.",
     )
+    parser.add_argument(
+        "--override", nargs="*", default=None, metavar="KEY VALUE",
+        help="Config overrides as dotted key/value pairs, e.g. "
+        "--override optimizer.lr 1e-3 nerf.train.num_random_rays 4096",
+    )
     return parser
 
 
@@ -60,6 +65,8 @@ def main(argv=None) -> None:
         log_checkpoint=args.log_checkpoint,
         run_name=args.run_name,
     )
+    if args.override:
+        cfg.merge_from_list(args.override)
     if args.precision:
         cfg.experiment.compute_dtype = {
             "32": "float32", "16": "bfloat16", "bf16": "bfloat16"

@@ -87,3 +87,22 @@ def test_mesh_cli(tiny_run):
     verts, faces, colors, normals = import_obj(str(obj))
     assert len(verts) > 50 and len(faces) > 50
     assert colors is not None and np.isfinite(colors).all()
+
+
+def test_train_cli_override(tmp_path):
+    import yaml
+
+    cfg_path = tmp_path / "tiny.yml"
+    base = yaml.safe_load(open("/root/repo/configs/tiny.yml"))
+    base["experiment"]["logdir"] = str(tmp_path / "logs")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+    train_nerf.main(
+        ["--config", str(cfg_path), "--run-name", "ovr",
+         "--override", "experiment.train_iters", "20",
+         "experiment.steps_per_call", "5", "nerf.train.num_random_rays", "64"]
+    )
+    import glob
+
+    logdir = sorted(glob.glob(str(tmp_path / "logs/tiny/ovr/version_*")))[-1]
+    metrics = [json.loads(l) for l in open(Path(logdir) / "events" / "metrics.jsonl")]
+    assert max(m["step"] for m in metrics) == 20
