@@ -122,7 +122,7 @@ def main() -> None:
     @jax.jit
     def grid_eval(p):
         if supports_fused(fine):
-            return fused_flexible_apply(fine, p["fine"], pts_tile, pts_tile)
+            return fused_flexible_apply(fine, p["fine"], pts_tile, pts_tile, inference=True)
         return fine.apply(p["fine"], pts_tile, pts_tile)
 
     out = grid_eval(state.params)

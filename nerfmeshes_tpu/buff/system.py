@@ -84,6 +84,7 @@ def buff_render_rays(
     field = _apply_field(
         model, params, points, dirs,
         use_fused=settings.use_fused_kernel, ray_directions=directions,
+        inference=not train,
     )
     bundle = volume_render(
         field,

@@ -1,8 +1,8 @@
 from nerfmeshes_tpu.ops.pallas.fused_mlp import (
     MLPSpec,
     fused_flexible_apply,
-    fused_mlp,
-    params_to_flat,
+    fused_mlp_infer,
+    fused_mlp_train,
     spec_from_model,
     supports_fused,
 )
@@ -10,8 +10,8 @@ from nerfmeshes_tpu.ops.pallas.fused_mlp import (
 __all__ = [
     "MLPSpec",
     "fused_flexible_apply",
-    "fused_mlp",
-    "params_to_flat",
+    "fused_mlp_infer",
+    "fused_mlp_train",
     "spec_from_model",
     "supports_fused",
 ]

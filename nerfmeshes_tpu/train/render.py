@@ -48,7 +48,7 @@ class RenderSettings(NamedTuple):
 
 
 def _apply_field(model, params, points, directions, use_fused: bool = False,
-                 ray_directions=None):
+                 ray_directions=None, inference: bool = False):
     """Run a radiance-field model; unwrap (field, aux) tuples
     (SpecularSimpleModel returns a tuple, see src/models/model_base.py:69-72).
 
@@ -63,7 +63,9 @@ def _apply_field(model, params, points, directions, use_fused: bool = False,
 
         if supports_fused(model):
             d = ray_directions if ray_directions is not None else directions
-            return fused_flexible_apply(model, params, points, d)
+            return fused_flexible_apply(
+                model, params, points, d, inference=inference
+            )
     out = model.apply(params, points, directions)
     if isinstance(out, tuple):
         out = out[0]
@@ -115,6 +117,7 @@ def render_rays(
     coarse_field = _apply_field(
         coarse_model, params["coarse"], points, dirs,
         use_fused=settings.use_fused_kernel, ray_directions=ray_directions,
+        inference=not train,
     )
     noise_std = settings.radiance_field_noise_std if train else 0.0
     coarse_bundle = volume_render(
@@ -142,6 +145,7 @@ def render_rays(
         fine_field = _apply_field(
             fine_model, params["fine"], points, dirs,
             use_fused=settings.use_fused_kernel, ray_directions=ray_directions,
+            inference=not train,
         )
         fine_bundle = volume_render(
             fine_field,

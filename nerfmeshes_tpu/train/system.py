@@ -146,7 +146,9 @@ class NeRFSystem:
             )
 
             if supports_fused(model):
-                return fused_flexible_apply(model, params, points, directions)
+                return fused_flexible_apply(
+                    model, params, points, directions, inference=True
+                )
         out = model.apply(params, points, directions)
         if isinstance(out, tuple):
             out = out[0]
