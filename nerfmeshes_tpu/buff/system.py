@@ -27,7 +27,7 @@ from nerfmeshes_tpu.buff.tree import (
     ray_voxel_intersect,
 )
 from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
-from nerfmeshes_tpu.ops.rays import intervals_to_ray_points
+
 from nerfmeshes_tpu.ops.render import volume_render
 from nerfmeshes_tpu.ops.sampling import ray_sample_interval
 from nerfmeshes_tpu.train.render import RenderSettings, _apply_field
@@ -79,12 +79,9 @@ def buff_render_rays(
     )
     intervals = jnp.where(ray_mask[:, None], z_tree, stratified)
 
-    points = intervals_to_ray_points(intervals, directions, origins_b)
-    dirs = jnp.broadcast_to(directions[..., None, :], points.shape)
     field = _apply_field(
-        model, params, points, dirs,
-        use_fused=settings.use_fused_kernel, ray_directions=directions,
-        inference=not train,
+        model, params, origins_b, directions, intervals,
+        use_fused=settings.use_fused_kernel, inference=not train,
     )
     bundle = volume_render(
         field,
@@ -95,6 +92,7 @@ def buff_render_rays(
         white_background=settings.white_background,
         attenuation_threshold=settings.attenuation_threshold,
         key=k_noise,
+        channels_first=True,
     )
     return bundle, voxel_idx, ray_mask
 

@@ -36,10 +36,15 @@ def volume_render(
     white_background: bool = False,
     attenuation_threshold: float = 1e-5,
     key: jax.Array | None = None,
+    channels_first: bool = False,
 ) -> RenderOutput:
     """Composite per-sample (rgb, sigma) into per-ray maps.
 
-    radiance_field: (..., S, 4) — rgb in [0,1] plus raw sigma.
+    radiance_field: (..., S, 4) — rgb in [0,1] plus raw sigma — or, with
+    `channels_first`, (4, ..., S): the fused MLP kernel's native output
+    layout (channel-minor arrays lane-pad 4->128 physically on TPU, so
+    the hot path keeps channels leading and only the tiny per-ray maps
+    ever exist channel-minor).
     depth_values:   (..., S) sample depths along each ray.
     ray_directions: (..., 3) (norm scales the inter-sample distances).
     """
@@ -50,8 +55,12 @@ def volume_render(
     )
     dists = dists * jnp.linalg.norm(ray_directions, axis=-1)[..., None]
 
-    rgb = radiance_field[..., :3]
-    sigma = radiance_field[..., 3]
+    if channels_first:
+        rgb = radiance_field[:3]
+        sigma = radiance_field[3]
+    else:
+        rgb = radiance_field[..., :3]
+        sigma = radiance_field[..., 3]
     if radiance_field_noise_std > 0.0:
         if key is None:
             raise ValueError("sigma noise requires a PRNG key")
@@ -65,7 +74,10 @@ def volume_render(
     mask_weights = (transmittance > attenuation_threshold).astype(dtype)
     weights = alpha * transmittance
 
-    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    if channels_first:
+        rgb_map = jnp.moveaxis(jnp.sum(weights[None] * rgb, axis=-1), 0, -1)
+    else:
+        rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     acc_map = jnp.sum(weights, axis=-1)
     depth_map = jnp.sum(weights * depth_values, axis=-1)
 

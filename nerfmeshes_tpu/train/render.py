@@ -47,29 +47,33 @@ class RenderSettings(NamedTuple):
         )
 
 
-def _apply_field(model, params, points, directions, use_fused: bool = False,
-                 ray_directions=None, inference: bool = False):
-    """Run a radiance-field model; unwrap (field, aux) tuples
+def _apply_field(model, params, origins, ray_directions, intervals,
+                 use_fused: bool = False, inference: bool = False):
+    """Run a radiance-field model over rays: o,d (R,3), intervals (R,S).
+    Returns the field CHANNELS-FIRST, (4, R, S) — feed
+    volume_render(channels_first=True). Unwraps (field, aux) tuples
     (SpecularSimpleModel returns a tuple, see src/models/model_base.py:69-72).
 
     With `use_fused`, eligible models (the FlexibleNeRF family) run through
-    the fused Pallas MLP kernel instead of flax apply; `ray_directions`
-    (per-ray, unexpanded) lets it encode view dirs once per ray."""
+    the fused Pallas MLP kernel straight from the rays (no (R,S,3) points
+    array materializes); others expand points/dirs for flax apply."""
     if use_fused:
         from nerfmeshes_tpu.ops.pallas.fused_mlp import (
-            fused_flexible_apply,
+            fused_flexible_apply_rays,
             supports_fused,
         )
 
         if supports_fused(model):
-            d = ray_directions if ray_directions is not None else directions
-            return fused_flexible_apply(
-                model, params, points, d, inference=inference
+            return fused_flexible_apply_rays(
+                model, params, origins, ray_directions, intervals,
+                inference=inference,
             )
-    out = model.apply(params, points, directions)
+    points = intervals_to_ray_points(intervals, ray_directions, origins)
+    dirs = jnp.broadcast_to(ray_directions[..., None, :], points.shape)
+    out = model.apply(params, points, dirs)
     if isinstance(out, tuple):
         out = out[0]
-    return out
+    return jnp.moveaxis(out, -1, 0)
 
 
 def render_rays(
@@ -111,13 +115,9 @@ def render_rays(
         perturb=settings.perturb,
         key=k_perturb,
     )
-    points = intervals_to_ray_points(intervals, ray_directions, origins)
-    dirs = jnp.broadcast_to(ray_directions[..., None, :], points.shape)
-
     coarse_field = _apply_field(
-        coarse_model, params["coarse"], points, dirs,
-        use_fused=settings.use_fused_kernel, ray_directions=ray_directions,
-        inference=not train,
+        coarse_model, params["coarse"], origins, ray_directions, intervals,
+        use_fused=settings.use_fused_kernel, inference=not train,
     )
     noise_std = settings.radiance_field_noise_std if train else 0.0
     coarse_bundle = volume_render(
@@ -129,6 +129,7 @@ def render_rays(
         white_background=settings.white_background,
         attenuation_threshold=settings.attenuation_threshold,
         key=k_noise_c,
+        channels_first=True,
     )
 
     fine_bundle = None
@@ -140,12 +141,9 @@ def render_rays(
             perturb=settings.perturb,
             key=k_pdf,
         )
-        points = intervals_to_ray_points(fine_intervals, ray_directions, origins)
-        dirs = jnp.broadcast_to(ray_directions[..., None, :], points.shape)
         fine_field = _apply_field(
-            fine_model, params["fine"], points, dirs,
-            use_fused=settings.use_fused_kernel, ray_directions=ray_directions,
-            inference=not train,
+            fine_model, params["fine"], origins, ray_directions, fine_intervals,
+            use_fused=settings.use_fused_kernel, inference=not train,
         )
         fine_bundle = volume_render(
             fine_field,
@@ -156,6 +154,7 @@ def render_rays(
             white_background=settings.white_background,
             attenuation_threshold=settings.attenuation_threshold,
             key=k_noise_f,
+            channels_first=True,
         )
 
     return coarse_bundle, fine_bundle
