@@ -43,8 +43,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024
-TILE_BWD = 1024
+TILE = 4096
+TILE_BWD = 2048
 PTS_W = 8  # raw xyz/dir inputs padded to 8 f32 lanes
 
 
@@ -580,7 +580,7 @@ def _fused_mlp_bwd(spec: MLPSpec, residuals, g):
         scratch_shapes=scratch_shapes,
         # The in-kernel PE temporaries push the recompute slightly past the
         # compiler's default 16MB scoped-vmem budget; v5e has headroom.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(pd_p, consts, g_p, *flat_weights)
 
