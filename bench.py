@@ -133,6 +133,33 @@ def main() -> None:
     jax.block_until_ready(out)
     grid_pts_per_sec = 10 * pts_tile.shape[0] / (time.time() - t0)
 
+    # BuFF train throughput (the reference's novel component; lego-shaped
+    # tree workload: 192 samples, <=1536 voxels).
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+
+    bcfg = load_config("configs/buff-synthetic-lego.yml")
+    bcfg.experiment.compute_dtype = "bfloat16"
+    bcfg.experiment.steps_per_call = 20
+    bcfg.dataset.type = "synthetic"
+    bsystem = BuFFSystem(bcfg)
+    bsystem.setup(
+        SyntheticDataset(bcfg, DatasetType.TRAIN, num_images=4, image_size=800), None
+    )
+
+    def buff_calls(n):
+        m = None
+        for _ in range(n):
+            bsystem.state, m = bsystem._train_fn(bsystem.state, bsystem._data)
+        jax.block_until_ready(m["train/loss"])
+
+    buff_calls(1)
+    t0 = time.time()
+    buff_calls(5)
+    buff_rays_per_sec = (
+        5 * 20 * int(bcfg.nerf.train.num_random_rays) / (time.time() - t0)
+    )
+
     details = {
         "device": str(jax.devices()[0]),
         "n_chips": n_chips,
@@ -140,6 +167,7 @@ def main() -> None:
         "steps_per_sec": n_calls * steps_per_call / elapsed,
         "train_rays_per_sec_total": rays_per_sec,
         "render_rays_per_sec": render_rays_per_sec,
+        "buff_train_rays_per_sec": buff_rays_per_sec,
         "mesh_grid_pts_per_sec": grid_pts_per_sec,
         "mesh_480_grid_eval_est_s": (480**3) / grid_pts_per_sec,
         "final_loss": float(metrics["train/loss"]),

@@ -269,3 +269,67 @@ def _random_rotation(rng):
     a = rng.standard_normal((3, 3)).astype(np.float32)
     q, _ = np.linalg.qr(a)
     return q.astype(np.float32)
+
+
+def test_volume_render_channels_first_matches(rng):
+    """channels_first consumes the fused kernel's (4, R, S) field layout and
+    must composite identically to the channel-minor path."""
+    R, S = 7, 11
+    field = jnp.asarray(rng.standard_normal((R, S, 4)).astype(np.float32))
+    field = field.at[..., :3].set(jax.nn.sigmoid(field[..., :3]))
+    depths = jnp.asarray(np.sort(rng.uniform(2.0, 6.0, (R, S))).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    a = volume_render(field, depths, dirs, train=False, white_background=True)
+    b = volume_render(
+        jnp.moveaxis(field, -1, 0), depths, dirs, train=False,
+        white_background=True, channels_first=True,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_pack_rays_matches_points(rng):
+    """pack_rays must equal pack_points_dirs over expanded points/dirs."""
+    from nerfmeshes_tpu.ops.pallas.fused_mlp import pack_points_dirs, pack_rays
+    from nerfmeshes_tpu.ops.rays import intervals_to_ray_points
+
+    R, S = 5, 9
+    o = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32))
+    z = jnp.asarray(np.sort(rng.uniform(1.0, 4.0, (R, S))).astype(np.float32))
+    packed = pack_rays(o, d, z)
+    pts = intervals_to_ray_points(z, d, o).reshape(-1, 3)
+    dirs = jnp.broadcast_to(d[:, None, :], (R, S, 3)).reshape(-1, 3)
+    expect = pack_points_dirs(pts, dirs)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(expect), atol=1e-6)
+    assert packed.shape == (8, R * S)
+    np.testing.assert_array_equal(np.asarray(packed[6]), 1.0)  # homogeneous row
+
+
+def test_fused_pe_lane_consts_layout():
+    """The combined-PE lane constants reproduce the reference PE when fed
+    through the kernel's assembly math (sin via quarter-turn phase)."""
+    from nerfmeshes_tpu.ops.encoding import positional_encoding
+    from nerfmeshes_tpu.ops.pallas.fused_mlp import (
+        MLPSpec, _pe_lane_consts,
+    )
+
+    spec = MLPSpec(
+        num_layers=4, hidden=128, skip_step=2, L_x=4, L_d=2,
+        include_x=True, include_d=True, log_x=True, log_d=True,
+    )
+    c = np.asarray(_pe_lane_consts(spec))
+    rng_ = np.random.default_rng(0)
+    pts = rng_.standard_normal((6, 3)).astype(np.float32)
+    dirs = rng_.standard_normal((6, 3)).astype(np.float32)
+    pd = np.concatenate(
+        [pts.T, dirs.T, np.ones((1, 6), np.float32), np.zeros((1, 6), np.float32)]
+    )
+    s = sum(c[:, k : k + 1] * pd[k : k + 1, :] for k in range(7))
+    pe = s + (np.sin(2 * np.pi * s) - s) * c[:, 8:9]  # exact sine stand-in
+    ref_x = np.asarray(positional_encoding(jnp.asarray(pts), 4, True, True))
+    ref_d = np.asarray(positional_encoding(jnp.asarray(dirs), 2, True, True))
+    np.testing.assert_allclose(pe[: ref_x.shape[1]].T, ref_x, atol=1e-5)
+    np.testing.assert_allclose(
+        pe[spec.d_off : spec.d_off + ref_d.shape[1]].T, ref_d, atol=1e-5
+    )
