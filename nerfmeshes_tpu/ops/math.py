@@ -9,6 +9,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def cumsum_lastaxis(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the last axis via a log-step (Hillis-Steele)
+    scan — XLA lowers jnp.cumsum to a serial while loop on TPU; this is
+    ceil(log2 S) fused elementwise passes instead."""
+    s = x.shape[-1]
+    out = x
+    k = 1
+    while k < s:
+        out = out + jnp.concatenate(
+            [jnp.zeros_like(out[..., :k]), out[..., :-k]], axis=-1
+        )
+        k *= 2
+    return out
+
+
 def cumprod_exclusive(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """TF-style exclusive cumulative product along `axis`.
 
@@ -18,7 +33,18 @@ def cumprod_exclusive(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     if axis != -1:
         x = jnp.moveaxis(x, axis, -1)
     ones = jnp.ones_like(x[..., :1])
-    out = jnp.concatenate([ones, jnp.cumprod(x[..., :-1], axis=-1)], axis=-1)
+    shifted = jnp.concatenate([ones, x[..., :-1]], axis=-1)
+    # Log-step (Hillis-Steele) scan: ceil(log2 S) shifted multiplies. XLA
+    # lowers jnp.cumprod to a serial while loop on TPU (~1ms at render
+    # scale); this is a handful of fused elementwise passes instead.
+    s = shifted.shape[-1]
+    out = shifted
+    k = 1
+    while k < s:
+        out = out * jnp.concatenate(
+            [jnp.ones_like(out[..., :k]), out[..., :-k]], axis=-1
+        )
+        k *= 2
     if axis != -1:
         out = jnp.moveaxis(out, -1, axis)
     return out

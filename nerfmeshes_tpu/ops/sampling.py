@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nerfmeshes_tpu.ops.math import cumsum_lastaxis
+
 
 def ray_sample_interval(
     num_samples: int,
@@ -89,7 +91,7 @@ def sorted_uniforms(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     """
     *batch, n = shape
     e = jax.random.exponential(key, (*batch, n + 1), dtype=dtype)
-    cums = jnp.cumsum(e, axis=-1)
+    cums = cumsum_lastaxis(e)
     return cums[..., :-1] / cums[..., -1:]
 
 
@@ -140,7 +142,7 @@ def sample_pdf(
         )
     weights = jax.lax.stop_gradient(weights) + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = cumsum_lastaxis(pdf)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., B+1)
 
     batch_shape = cdf.shape[:-1]
