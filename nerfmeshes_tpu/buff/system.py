@@ -31,7 +31,12 @@ from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
 from nerfmeshes_tpu.ops.render import volume_render
 from nerfmeshes_tpu.ops.sampling import ray_sample_interval
 from nerfmeshes_tpu.train.render import RenderSettings, _apply_field
-from nerfmeshes_tpu.train.step import TrainState, _sample_ray_batch
+from nerfmeshes_tpu.parallel.mesh import DATA_AXIS
+from nerfmeshes_tpu.train.step import (
+    TrainState,
+    _merge_img_pix_keys,
+    _sample_ray_batch,
+)
 from nerfmeshes_tpu.train.system import NeRFSystem
 
 
@@ -130,6 +135,14 @@ def make_buff_train_step(
 
     schedule = build_schedule(cfg)
 
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if num_rays % max(n_shards, 1) != 0:
+        raise ValueError(
+            f"num_random_rays {num_rays} must divide the mesh size {n_shards}"
+        )
+    local_rays = num_rays // max(n_shards, 1)
+    axis_name = DATA_AXIS if n_shards > 1 else None
+
     def loss_fn(params, tree_state, origins, directions, targets, near, far, key):
         bundle, voxel_idx, ray_mask = buff_render_rays(
             model,
@@ -159,11 +172,21 @@ def make_buff_train_step(
         return loss, aux
 
     def one_step(carry: BuffCarry, data):
+        """Per-device step body. Under shard_map each device renders its
+        own ray slice of the SAME image (key folded with the mesh axis
+        index, matching train/step.py), grads/metrics/voxel-accumulators
+        reduce over ICI — the pallas kernel runs locally per device."""
         state, tree_state = carry
         key, k_sample, k_render = jax.random.split(state.key, 3)
+        if n_shards > 1:
+            shard = jax.lax.axis_index(DATA_AXIS)
+            k_img, k_pix = jax.random.split(k_sample)
+            k_pix = jax.random.fold_in(k_pix, shard)
+            k_sample = _merge_img_pix_keys(k_img, k_pix)
+            k_render = jax.random.fold_in(k_render, shard)
         origins, directions, targets, near, far = _sample_ray_batch(
-            data, k_sample, H=H, W=W, focal=focal, num_rays=num_rays,
-            use_ndc=use_ndc, mesh=mesh, intrinsics=intrinsics,
+            data, k_sample, H=H, W=W, focal=focal, num_rays=local_rays,
+            use_ndc=use_ndc, mesh=None, intrinsics=intrinsics,
             sample_all_images=sample_all,
         )
         grads, aux = jax.grad(loss_fn, has_aux=True)(
@@ -176,6 +199,13 @@ def make_buff_train_step(
             far,
             k_render,
         )
+        if n_shards > 1:
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, DATA_AXIS), grads
+            )
+            aux["metrics"] = jax.tree_util.tree_map(
+                lambda m: jax.lax.pmean(m, DATA_AXIS), aux["metrics"]
+            )
         updates, opt_state = optimizer.update(
             {"coarse": grads, "fine": {}}, state.opt_state, state.params
         )
@@ -191,6 +221,7 @@ def make_buff_train_step(
                 jax.lax.stop_gradient(aux["weights"]),
                 jax.lax.stop_gradient(aux["mask_weights"]),
                 aux["ray_mask"],
+                axis_name=axis_name,
             ),
             lambda ts: ts,
             tree_state,
@@ -211,7 +242,23 @@ def make_buff_train_step(
         )
         return carry, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
-    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # Params/tree/data replicated; the ray axis exists only inside the
+    # per-device body (pallas kernels run as-is per device), collectives =
+    # grad/metric pmean + voxel-accumulator psum.
+    sharded = shard_map(
+        multi_step,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
 class BuFFSystem(NeRFSystem):

@@ -344,18 +344,22 @@ def _onehot_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("rsk,rk->rs", onehot, values)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("axis_name",))
 def integrate(
     state: TreeState,
     voxel_idx: jnp.ndarray,
     weights: jnp.ndarray,
     mask_weights: jnp.ndarray,
     ray_mask: jnp.ndarray,
+    axis_name: str | None = None,
 ) -> TreeState:
     """Fold rendered sample weights into the per-voxel running mean
     (reference: ray_batch_integration, src/nerf/tree.py:177-206).
 
     voxel_idx/weights/mask_weights: (R, S); ray_mask: (R,).
+    Under shard_map (`axis_name` set, per-device ray slices) the voxel
+    accumulators are psum'ed over the mesh before the running-mean update,
+    so the sharded step integrates exactly the global batch.
     """
     V = state.memm.shape[0]
     rm = ray_mask[:, None].astype(weights.dtype)
@@ -364,6 +368,9 @@ def integrate(
     onehot = jax.nn.one_hot(voxel_idx.reshape(-1), V, dtype=weights.dtype)
     acc = jnp.einsum("nv,n->v", onehot, (weights * rm).reshape(-1))
     freq = jnp.einsum("nv,n->v", onehot, (mask_weights * rm).reshape(-1))
+    if axis_name is not None:
+        acc = jax.lax.psum(acc, axis_name)
+        freq = jax.lax.psum(freq, axis_name)
     hit = freq > 0
     delta = jnp.where(hit, acc / jnp.where(hit, freq, 1.0) - state.memm, 0.0)
     memm = state.memm + delta / state.counter.astype(jnp.float32)
