@@ -149,27 +149,88 @@ struct Extractor {
         }
     }
 
-    void run() {
+    // Process one surface-crossing cell (x, y, z).
+    inline void cell(int64_t x, int64_t y, int64_t z) {
         int64_t corners_x[8][3];
         float cv[8];
-        for (int64_t x = 0; x + 1 < nx; ++x)
-            for (int64_t y = 0; y + 1 < ny; ++y)
-                for (int64_t z = 0; z + 1 < nz; ++z) {
-                    bool any_in = false, any_out = false;
-                    for (int c = 0; c < 8; ++c) {
-                        int64_t px = x + CORNER_OFF[c][0];
-                        int64_t py = y + CORNER_OFF[c][1];
-                        int64_t pz = z + CORNER_OFF[c][2];
-                        corners_x[c][0] = px;
-                        corners_x[c][1] = py;
-                        corners_x[c][2] = pz;
-                        cv[c] = at(px, py, pz);
-                        (cv[c] > iso ? any_in : any_out) = true;
+        for (int c = 0; c < 8; ++c) {
+            int64_t px = x + CORNER_OFF[c][0];
+            int64_t py = y + CORNER_OFF[c][1];
+            int64_t pz = z + CORNER_OFF[c][2];
+            corners_x[c][0] = px;
+            corners_x[c][1] = py;
+            corners_x[c][2] = pz;
+            cv[c] = at(px, py, pz);
+        }
+        for (int t = 0; t < 6; ++t)
+            handle_tet(corners_x, cv, TETS[t]);
+    }
+
+    void run() {
+        // Bitmask prescreen: the surface typically crosses ~1% of cells, so
+        // the naive scan's 8 corner loads per cell dominate extraction. Per
+        // grid row (x, y) build an nz-bit mask of (v > iso); a cell is
+        // active iff its 4 corner rows contain both an inside and an
+        // outside bit at z/z+1 — evaluated 64 cells at a time with word
+        // ops, skipping empty words entirely.
+        const int64_t words = (nz + 63) >> 6;
+        std::vector<uint64_t> slabs(2 * ny * words);
+        auto build_slab = [&](int64_t x, uint64_t* dst) {
+            for (int64_t y = 0; y < ny; ++y) {
+                const float* row = grid + (x * ny + y) * nz;
+                uint64_t* m = dst + y * words;
+                std::memset(m, 0, sizeof(uint64_t) * words);
+                for (int64_t z = 0; z < nz; ++z)
+                    if (row[z] > iso) m[z >> 6] |= 1ull << (z & 63);
+            }
+        };
+        // Valid value bits in the last word (z < nz).
+        const uint64_t tail_valid =
+            (nz & 63) ? ((1ull << (nz & 63)) - 1) : ~0ull;
+
+        build_slab(0, slabs.data());
+        for (int64_t x = 0; x + 1 < nx; ++x) {
+            uint64_t* s0 = slabs.data() + (x & 1) * ny * words;
+            uint64_t* s1 = slabs.data() + ((x + 1) & 1) * ny * words;
+            build_slab(x + 1, s1);
+            for (int64_t y = 0; y + 1 < ny; ++y) {
+                const uint64_t* rows[4] = {
+                    s0 + y * words, s0 + (y + 1) * words,
+                    s1 + y * words, s1 + (y + 1) * words,
+                };
+                for (int64_t w = 0; w < words; ++w) {
+                    const uint64_t valid = (w == words - 1) ? tail_valid : ~0ull;
+                    uint64_t in = 0, out = 0;
+                    for (int r = 0; r < 4; ++r) {
+                        uint64_t m = rows[r][w];
+                        uint64_t nb =
+                            (w + 1 < words) ? (rows[r][w + 1] & 1ull) : 0ull;
+                        in |= m | (m >> 1) | (nb << 63);
+                        uint64_t mo = ~m & valid;
+                        uint64_t nbo =
+                            (w + 1 < words) ? (~rows[r][w + 1] & 1ull) : 0ull;
+                        out |= mo | (mo >> 1) | (nbo << 63);
                     }
-                    if (!any_in || !any_out) continue;
-                    for (int t = 0; t < 6; ++t)
-                        handle_tet(corners_x, cv, TETS[t]);
+                    // Cells exist for z in [0, nz-2]: drop the bit for
+                    // z == nz-1 (and padding) in the last word.
+                    uint64_t cells_valid = valid;
+                    if ((w + 1) * 64 >= nz - 1) {
+                        int64_t ncell = (nz - 1) - w * 64;
+                        cells_valid =
+                            (ncell <= 0)
+                                ? 0ull
+                                : (ncell >= 64 ? ~0ull
+                                               : ((1ull << ncell) - 1));
+                    }
+                    uint64_t act = in & out & cells_valid;
+                    while (act) {
+                        int64_t z = w * 64 + __builtin_ctzll(act);
+                        act &= act - 1;
+                        cell(x, y, z);
+                    }
                 }
+            }
+        }
     }
 
     // Per-vertex normals: -grad(density), trilinearly interpolated.

@@ -72,7 +72,8 @@ def main(argv=None) -> None:
         bundle = dataset.image_bundle(idx).to_ray_batch()
         near, far = np.asarray(bundle.ray_bounds).reshape(-1)[:2]
         out = system.query_rays(
-            bundle.ray_origins, bundle.ray_directions, float(near), float(far)
+            bundle.ray_origins, bundle.ray_directions, float(near), float(far),
+            fields=("rgb_map", "disp_map"),
         )
         rgb = np.asarray(out.rgb_map).reshape(H, W, 3)
 

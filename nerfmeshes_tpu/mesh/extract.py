@@ -20,6 +20,11 @@ import numpy as np
 
 from nerfmeshes_tpu.mesh.native import marching_cubes
 
+# Wall-time of the last _grid_eval, split into device compute vs the
+# device->host transfer (through a TPU tunnel the transfer dominates and
+# varies wildly; on a direct-attached host it is negligible).
+LAST_TIMINGS: dict = {}
+
 
 @dataclass
 class MeshArgs:
@@ -80,7 +85,14 @@ def _grid_eval(
         # 480^3 (442MB f32); half precision is ample for iso-surfacing.
         return jax.lax.map(tile_fn, jnp.arange(n_tiles)).astype(jnp.float16)
 
-    out = np.asarray(eval_all())
+    import time
+
+    t0 = time.time()
+    dev = jax.block_until_ready(eval_all())
+    LAST_TIMINGS["grid_eval_device_s"] = time.time() - t0
+    t0 = time.time()
+    out = np.asarray(dev)
+    LAST_TIMINGS["grid_transfer_s"] = time.time() - t0
     out = out.reshape(n_tiles * tile, -1)[:n]
     shape = (*nums, channels) if channels > 1 else tuple(nums)
     return out.reshape(shape).astype(np.float32)
@@ -124,9 +136,13 @@ def extract_geometry(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(vertices in world coords, triangles, normals, density grid)
     (reference: src/mesh_nerf.py:68-92)."""
+    import time
+
     density = extract_density(sample_points_fn, args.limit, args.res)
     iso_value = extract_iso_level(density, args.iso_level)
+    t0 = time.time()
     vertices, triangles, normals = marching_cubes(density, iso_value)
+    LAST_TIMINGS["marching_cubes_s"] = time.time() - t0
     # Grid-index -> world coords in (-limit, limit).
     vertices = args.limit * (vertices / (args.res / 2.0) - 1.0)
     return vertices.astype(np.float32), triangles, normals, density
@@ -205,9 +221,12 @@ def export_marching_cubes(
         diffuse = _query_diffuse_direct(system, targets, directions, args.batch_size)
     else:
         origins = targets - args.view_disparity * directions
+        # args.batch_size mirrors the reference's GPU-memory knob
+        # (--batch-size 1024); as a TPU dispatch size that would be
+        # hopelessly call-bound, so treat it as a lower bound.
         out = system.query_rays(
             origins, directions, 0.0, args.view_disparity_max_bound,
-            chunk=args.batch_size,
+            chunk=max(args.batch_size, 65536), fields=("rgb_map",),
         )
         diffuse = np.asarray(out.rgb_map)
 

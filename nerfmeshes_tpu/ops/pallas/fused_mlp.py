@@ -4,24 +4,29 @@ The radiance MLP is the FLOP center of the framework, but at NeRF sizes
 (393k points x 8 layers x 256 wide per step) XLA materializes every
 inter-layer activation in HBM, leaving the MXU idle on bandwidth. This
 kernel keeps the whole pipeline — positional encoding, trunk, skip
-connection, view-conditioned heads — resident in VMEM per point-tile:
+connection, view-conditioned heads — resident in VMEM per point-tile.
 
-    HBM traffic per tile = raw points + dirs (8 f32 lanes each) and the
-    4-channel output (+ weights once); everything between runs
-    MXU->VMEM->MXU.
-
-Layout notes
-- The positional encoding is assembled *inside* the kernel on the VPU:
-  the frequency scaling s[d*L+l] = x_d * f_l is an elementwise multiply
-  (exact in f32 — for log sampling the bands are powers of two, an
-  exponent shift), cos rides the same sin via a +pi/2 phase lane
-  constant, and the [x | sin | cos] vector materializes only in VMEM at
-  the lane-padded width. The MXU contraction structure is therefore
-  identical to an external-PE kernel (one K=128 matmul per PE consumer)
-  while the ~100MB/step of PE HBM traffic and the XLA-side sin/cos +
-  pad/cast fusions disappear. Used by BOTH the training pair and the
-  forward-only inference path.
-- feat and alpha heads share one matmul ([W_feat | W_alpha] columns).
+Layout design (the pallas {1,0}-layout boundary is the governing
+constraint: any kernel operand/output with a small minor dim is
+physically lane-padded to 128 in HBM, 16-40x its logical size):
+- INPUT is ONE packed (PTS_W=8, N) f32 array — rows [x,y,z,dx,dy,dz,1,0]
+  (pack_rays builds it straight from o/d/z without an (R,S,3) points
+  array; row 6's ones carry the phase column). Lane-dense: 32B/point.
+- The positional encoding is assembled inside the kernel on the VPU,
+  TRANSPOSED: pe_t (comb_width, T) = one sin pass over outer-product
+  broadcasts of the packed rows against per-lane frequency columns
+  (_pe_lane_consts; exact f32 multiplies — for log sampling the bands
+  are powers of two). cos rides the same sin via a +quarter-turn phase,
+  and the sine itself is a 9-op wrap+minimax polynomial (_sin2pi) —
+  jnp.sin's general range reduction costs ~3x more. xyz and dir encodings
+  share the single 128-lane vector (dir block at d_off); each consumer's
+  weight rows are zero outside its block, so every PE matmul contracts
+  the full K=128 exactly as an external-PE kernel would — zero extra MXU
+  work. dot_general contracts pe_t over dim 0: no transposes anywhere.
+- OUTPUT is channels-first (4, N) f32: the rgb and alpha heads are
+  computed transposed ((3,T)/(1,T) via dimension_numbers), and
+  volume_render consumes the field channels_first — a channel-minor
+  (N, 4) field would be 32x its logical size physically.
 - The backward kernel recomputes activations per tile (bf16 stash) and
   accumulates weight grads across the sequential grid in VMEM scratch,
   flushing to HBM once on the last step; input gradients are not
@@ -92,8 +97,7 @@ class MLPSpec(NamedTuple):
 
     @property
     def d_off(self) -> int:
-        """Lane offset of the dir-PE block in the combined PE vector
-        (64-aligned so the raw-dirs embed is a cheap aligned concat)."""
+        """Lane offset of the dir-PE block in the combined PE vector."""
         return _round_up(self.pe_x, 64)
 
     @property

@@ -115,9 +115,12 @@ class NeRFSystem:
         return self
 
     # -- queries ------------------------------------------------------------------
-    def query_rays(self, origins, directions, near, far, chunk: Optional[int] = None):
+    def query_rays(self, origins, directions, near, far, chunk: Optional[int] = None,
+                   fields: Optional[tuple] = None):
         """Render arbitrary rays with the finest model (validation settings);
-        analog of NeRFModel.query (src/models/model_nerf.py:80-86)."""
+        analog of NeRFModel.query (src/models/model_nerf.py:80-86).
+        `fields` limits which maps are fetched to the host (see
+        render_image) — ask for ("rgb_map",) unless you need more."""
         chunk = chunk or int(self.cfg.nerf.validation.chunksize)
         coarse, fine = render_image(
             self._render_chunk,
@@ -127,6 +130,7 @@ class NeRFSystem:
             float(near),
             float(far),
             chunk_size=chunk,
+            fields=fields,
         )
         return fine if fine is not None else coarse
 
@@ -177,6 +181,11 @@ class NeRFSystem:
                 float(near),
                 float(far),
                 chunk_size=int(cfg_val.chunksize),
+                # Per-ray maps only: the (R, S) weights are ~16x larger
+                # and unused here — skipping their host transfer is the
+                # difference between seconds and minutes per 800^2 image
+                # through a TPU tunnel.
+                fields=("rgb_map", "depth_map", "disp_map", "acc_map"),
             )
             target = bundle.ray_targets
             coarse_loss = float(np.mean((coarse.rgb_map - target) ** 2))

@@ -167,7 +167,7 @@ def test_full_pipeline_with_system(tmp_path):
         def sample_points(self, points, dirs=None):
             return analytic_sample_points(points, dirs)
 
-        def query_rays(self, origins, dirs, near, far, chunk=None):
+        def query_rays(self, origins, dirs, near, far, chunk=None, fields=None):
             class Out:
                 rgb_map = np.asarray(
                     analytic_sample_points(jnp.asarray(origins))
