@@ -92,73 +92,92 @@ def main() -> None:
     baseline = _load_baseline()
     vs_baseline = rays_per_sec_chip / baseline if baseline else None
 
-    # Side metrics: eval-render rays/sec and mesh-grid points/sec.
-    from nerfmeshes_tpu.train.step import make_render_chunk
+    # Side metrics (each guarded: a failure here must never cost the
+    # headline metric line the driver parses).
+    def _side(fn):
+        try:
+            return fn()
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"side metric failed: {exc!r}", file=sys.stderr)
+            return None
 
-    render_chunk = make_render_chunk(cfg, coarse, fine)
-    R_chunk = 16384
     import numpy as _np
 
     rng = _np.random.default_rng(0)
-    d = rng.standard_normal((R_chunk, 3)).astype(_np.float32)
-    d /= _np.linalg.norm(d, axis=-1, keepdims=True)
-    o = jax.numpy.zeros((R_chunk, 3))
-    d = jax.numpy.asarray(d)
-    cb, fb = render_chunk(state.params, o, d, 2.0, 6.0)
-    jax.block_until_ready(fb.rgb_map)
-    t0 = time.time()
-    for _ in range(10):
+
+    def _render_metric():
+        from nerfmeshes_tpu.train.step import make_render_chunk
+
+        render_chunk = make_render_chunk(cfg, coarse, fine)
+        R_chunk = 16384
+        d = rng.standard_normal((R_chunk, 3)).astype(_np.float32)
+        d /= _np.linalg.norm(d, axis=-1, keepdims=True)
+        o = jax.numpy.zeros((R_chunk, 3))
+        d = jax.numpy.asarray(d)
         cb, fb = render_chunk(state.params, o, d, 2.0, 6.0)
-    jax.block_until_ready(fb.rgb_map)
-    render_rays_per_sec = 10 * R_chunk / (time.time() - t0)
+        jax.block_until_ready(fb.rgb_map)
+        t0 = time.time()
+        for _ in range(10):
+            cb, fb = render_chunk(state.params, o, d, 2.0, 6.0)
+        jax.block_until_ready(fb.rgb_map)
+        return 10 * R_chunk / (time.time() - t0)
 
-    from nerfmeshes_tpu.train.system import NeRFSystem  # noqa: F401  (API parity)
-    from nerfmeshes_tpu.ops.pallas.fused_mlp import fused_flexible_apply, supports_fused
+    def _grid_metric():
+        from nerfmeshes_tpu.ops.pallas.fused_mlp import (
+            fused_flexible_apply,
+            supports_fused,
+        )
 
-    pts_tile = jax.numpy.asarray(
-        rng.uniform(-1, 1, (131072, 3)).astype(_np.float32)
-    )
+        pts_tile = jax.numpy.asarray(
+            rng.uniform(-1, 1, (131072, 3)).astype(_np.float32)
+        )
 
-    @jax.jit
-    def grid_eval(p):
-        if supports_fused(fine):
-            return fused_flexible_apply(fine, p["fine"], pts_tile, pts_tile, inference=True)
-        return fine.apply(p["fine"], pts_tile, pts_tile)
+        @jax.jit
+        def grid_eval(p):
+            if supports_fused(fine):
+                return fused_flexible_apply(
+                    fine, p["fine"], pts_tile, pts_tile, inference=True
+                )
+            return fine.apply(p["fine"], pts_tile, pts_tile)
 
-    out = grid_eval(state.params)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(10):
         out = grid_eval(state.params)
-    jax.block_until_ready(out)
-    grid_pts_per_sec = 10 * pts_tile.shape[0] / (time.time() - t0)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(10):
+            out = grid_eval(state.params)
+        jax.block_until_ready(out)
+        return 10 * pts_tile.shape[0] / (time.time() - t0)
 
-    # BuFF train throughput (the reference's novel component; lego-shaped
-    # tree workload: 192 samples, <=1536 voxels).
-    from nerfmeshes_tpu.config import load_config
-    from nerfmeshes_tpu.buff.system import BuFFSystem
+    def _buff_metric():
+        # BuFF train throughput (the reference's novel component;
+        # lego-shaped tree workload: 192 samples, <=1536 voxels).
+        from nerfmeshes_tpu.config import load_config
+        from nerfmeshes_tpu.buff.system import BuFFSystem
 
-    bcfg = load_config("configs/buff-synthetic-lego.yml")
-    bcfg.experiment.compute_dtype = "bfloat16"
-    bcfg.experiment.steps_per_call = 20
-    bcfg.dataset.type = "synthetic"
-    bsystem = BuFFSystem(bcfg)
-    bsystem.setup(
-        SyntheticDataset(bcfg, DatasetType.TRAIN, num_images=4, image_size=800), None
-    )
+        bcfg = load_config("configs/buff-synthetic-lego.yml")
+        bcfg.experiment.compute_dtype = "bfloat16"
+        bcfg.experiment.steps_per_call = 20
+        bcfg.dataset.type = "synthetic"
+        bsystem = BuFFSystem(bcfg)
+        bsystem.setup(
+            SyntheticDataset(bcfg, DatasetType.TRAIN, num_images=4, image_size=800),
+            None,
+        )
 
-    def buff_calls(n):
-        m = None
-        for _ in range(n):
-            bsystem.state, m = bsystem._train_fn(bsystem.state, bsystem._data)
-        jax.block_until_ready(m["train/loss"])
+        def buff_calls(n):
+            m = None
+            for _ in range(n):
+                bsystem.state, m = bsystem._train_fn(bsystem.state, bsystem._data)
+            jax.block_until_ready(m["train/loss"])
 
-    buff_calls(1)
-    t0 = time.time()
-    buff_calls(5)
-    buff_rays_per_sec = (
-        5 * 20 * int(bcfg.nerf.train.num_random_rays) / (time.time() - t0)
-    )
+        buff_calls(1)
+        t0 = time.time()
+        buff_calls(5)
+        return 5 * 20 * int(bcfg.nerf.train.num_random_rays) / (time.time() - t0)
+
+    render_rays_per_sec = _side(_render_metric)
+    grid_pts_per_sec = _side(_grid_metric)
+    buff_rays_per_sec = _side(_buff_metric)
 
     details = {
         "device": str(jax.devices()[0]),
@@ -169,7 +188,9 @@ def main() -> None:
         "render_rays_per_sec": render_rays_per_sec,
         "buff_train_rays_per_sec": buff_rays_per_sec,
         "mesh_grid_pts_per_sec": grid_pts_per_sec,
-        "mesh_480_grid_eval_est_s": (480**3) / grid_pts_per_sec,
+        "mesh_480_grid_eval_est_s": (480**3) / grid_pts_per_sec
+        if grid_pts_per_sec
+        else None,
         "final_loss": float(metrics["train/loss"]),
         "baseline_train_rays_per_sec": baseline,
     }
