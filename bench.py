@@ -18,7 +18,6 @@ import json
 import sys
 import time
 
-import numpy as np
 
 # Measured by scripts/measure_reference_baseline.py (reference torch code
 # run in-place on this host's CPU, same workload). See BASELINE.md.
