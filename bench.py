@@ -122,22 +122,31 @@ def main() -> None:
         return 10 * R_chunk / (time.time() - t0)
 
     def _grid_metric():
+        # The geometry half of mesh extraction: sigma-only grid eval with
+        # coordinates synthesized on device (mesh/extract.py:_grid_eval).
         from nerfmeshes_tpu.ops.pallas.fused_mlp import (
-            fused_flexible_apply,
+            fused_sigma_points,
             supports_fused,
         )
 
-        pts_tile = jax.numpy.asarray(
-            rng.uniform(-1, 1, (131072, 3)).astype(_np.float32)
-        )
+        n_pts = 262144
+        jnp = jax.numpy
 
         @jax.jit
         def grid_eval(p):
+            idx = jnp.arange(n_pts)
+            nyz, nz = 64 * 64, 64
+            pts = jnp.stack(
+                [
+                    (idx // nyz).astype(jnp.float32) / 32.0 - 1.0,
+                    ((idx % nyz) // nz).astype(jnp.float32) / 32.0 - 1.0,
+                    (idx % nz).astype(jnp.float32) / 32.0 - 1.0,
+                ],
+                axis=-1,
+            )
             if supports_fused(fine):
-                return fused_flexible_apply(
-                    fine, p["fine"], pts_tile, pts_tile, inference=True
-                )
-            return fine.apply(p["fine"], pts_tile, pts_tile)
+                return fused_sigma_points(fine, p["fine"], pts)
+            return fine.apply(p["fine"], pts, pts)[..., 3]
 
         out = grid_eval(state.params)
         jax.block_until_ready(out)
@@ -145,7 +154,7 @@ def main() -> None:
         for _ in range(10):
             out = grid_eval(state.params)
         jax.block_until_ready(out)
-        return 10 * pts_tile.shape[0] / (time.time() - t0)
+        return 10 * n_pts / (time.time() - t0)
 
     def _buff_metric():
         # BuFF train throughput (the reference's novel component;

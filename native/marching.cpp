@@ -49,11 +49,25 @@ struct Extractor {
     int64_t nx, ny, nz;
     float iso;
 
+    // Sparse-block mode (mt_extract_sparse): when `lookup` is set, values
+    // come from fetched 8^3 blocks (`packed`, indexed via lookup) with
+    // per-block fills elsewhere; `grid` is unused.
+    const int32_t* lookup = nullptr;
+    const float* fill = nullptr;
+    const float* packed = nullptr;
+    int64_t B = 0;
+
     std::vector<float> verts;    // 3 floats per vertex
     std::vector<int32_t> tris;   // 3 indices per triangle
     std::unordered_map<uint64_t, int32_t> edge_cache;
 
     inline float at(int64_t x, int64_t y, int64_t z) const {
+        if (lookup) {
+            int64_t b = ((x >> 3) * B + (y >> 3)) * B + (z >> 3);
+            int32_t k = lookup[b];
+            if (k < 0) return fill[b];
+            return packed[(int64_t)k * 512 + (((x & 7) * 8 + (y & 7)) * 8) + (z & 7)];
+        }
         return grid[(x * ny + y) * nz + z];
     }
 
@@ -233,6 +247,40 @@ struct Extractor {
         }
     }
 
+    // Sparse-block traversal: only cells whose min corner lies in a
+    // fetched block are visited. Crossing cells always land entirely in
+    // fetched blocks (every cell is inside the dilated stats window of
+    // each block it touches, see mesh/extract.py:_sparse_density_extract),
+    // so this is exhaustive. ~K*512 cells instead of res^3.
+    void run_sparse(const int32_t* ids, int64_t K) {
+        for (int64_t n = 0; n < K; ++n) {
+            int64_t id = ids[n];
+            int64_t bx = (id / (B * B)) * 8, by = ((id / B) % B) * 8,
+                    bz = (id % B) * 8;
+            int64_t xe = bx + 8 < nx ? bx + 8 : nx - 1;
+            int64_t ye = by + 8 < ny ? by + 8 : ny - 1;
+            int64_t ze = bz + 8 < nz ? bz + 8 : nz - 1;
+            const float* blk = packed + n * 512;
+            for (int64_t x = bx; x < xe; ++x)
+                for (int64_t y = by; y < ye; ++y) {
+                    // Interior fast path: for cells fully inside the block
+                    // prescreen the 8 corners from `blk` directly.
+                    for (int64_t z = bz; z < ze; ++z) {
+                        if (x + 1 < xe && y + 1 < ye && z + 1 < ze) {
+                            int64_t o = ((x - bx) * 8 + (y - by)) * 8 + (z - bz);
+                            bool s0 = blk[o] > iso;
+                            if (blk[o + 1] > iso == s0 && blk[o + 8] > iso == s0 &&
+                                blk[o + 9] > iso == s0 && blk[o + 64] > iso == s0 &&
+                                blk[o + 65] > iso == s0 && blk[o + 72] > iso == s0 &&
+                                blk[o + 73] > iso == s0)
+                                continue;
+                        }
+                        cell(x, y, z);
+                    }
+                }
+        }
+    }
+
     // Per-vertex normals: -grad(density), trilinearly interpolated.
     std::vector<float> normals() const {
         std::vector<float> out(verts.size());
@@ -298,5 +346,83 @@ int64_t mt_extract(const float* grid, int64_t nx, int64_t ny, int64_t nz,
 }
 
 void mt_free(void* p) { std::free(p); }
+
+// Sparse-block iso-surface extraction: same outputs as mt_extract, but the
+// grid never exists densely — values come from K fetched 8^3 blocks
+// (`packed`, flat ids `ids`) over a per-block `fill` background (B^3,
+// B = res/8). Exact for every surface-crossing cell by the fetch-set
+// construction in mesh/extract.py:_sparse_density_extract.
+int64_t mt_extract_sparse(int64_t res, int64_t B, const float* fill,
+                          const int32_t* ids, int64_t K, const float* packed,
+                          float iso, float** out_verts, int64_t* out_nverts,
+                          int32_t** out_tris, int64_t* out_ntris,
+                          float** out_normals) {
+    if (res < 2 || B * 8 != res) return -1;
+    std::vector<int32_t> lookup((size_t)B * B * B, -1);
+    for (int64_t n = 0; n < K; ++n) lookup[ids[n]] = (int32_t)n;
+
+    Extractor ex;
+    ex.grid = nullptr;
+    ex.nx = ex.ny = ex.nz = res;
+    ex.iso = iso;
+    ex.lookup = lookup.data();
+    ex.fill = fill;
+    ex.packed = packed;
+    ex.B = B;
+    ex.run_sparse(ids, K);
+
+    int64_t nv = (int64_t)(ex.verts.size() / 3);
+    int64_t nt = (int64_t)(ex.tris.size() / 3);
+    *out_nverts = nv;
+    *out_ntris = nt;
+    *out_verts = (float*)std::malloc(sizeof(float) * (ex.verts.size() + 1));
+    *out_tris = (int32_t*)std::malloc(sizeof(int32_t) * (ex.tris.size() + 1));
+    std::memcpy(*out_verts, ex.verts.data(), sizeof(float) * ex.verts.size());
+    std::memcpy(*out_tris, ex.tris.data(), sizeof(int32_t) * ex.tris.size());
+    if (out_normals) {
+        auto nrm = ex.normals();
+        *out_normals = (float*)std::malloc(sizeof(float) * (nrm.size() + 1));
+        std::memcpy(*out_normals, nrm.data(), sizeof(float) * nrm.size());
+    }
+    return 0;
+}
+
+// Reconstruct a dense res^3 grid from the sparse block transfer of
+// mesh/extract.py:_sparse_density_extract: every 8^3 block is filled with
+// its own fill value (one-sided by construction), then the K fetched
+// blocks are scattered in. Pure memory-bandwidth work that numpy's
+// interleaved-view broadcasting does ~50x slower.
+//   dense: res^3 f32 out (C-order x,y,z)
+//   fill:  B^3 f32 per-block fill values, B = res/8
+//   ids:   K int32 flat block ids (bx*B*B + by*B + bz)
+//   packed: K*512 f32 block values (8x8x8 C-order)
+void mt_fill_blocks(float* dense, int64_t res, int64_t B, const float* fill,
+                    const int32_t* ids, int64_t K, const float* packed) {
+    // Sequential row-major fill: each (x, y) row of `dense` is res
+    // contiguous floats whose fill value changes every 8 entries.
+    for (int64_t bx = 0; bx < B; bx++)
+        for (int64_t i = 0; i < 8; i++)
+            for (int64_t by = 0; by < B; by++) {
+                const float* frow = fill + (bx * B + by) * B;
+                for (int64_t j = 0; j < 8; j++) {
+                    float* row = dense + (((bx * 8 + i) * res) + by * 8 + j) * res;
+                    for (int64_t bz = 0; bz < B; bz++) {
+                        float v = frow[bz];
+                        float* p = row + bz * 8;
+                        for (int k = 0; k < 8; k++) p[k] = v;
+                    }
+                }
+            }
+    for (int64_t n = 0; n < K; n++) {
+        int64_t id = ids[n];
+        int64_t bx = id / (B * B), by = (id / B) % B, bz = id % B;
+        const float* src = packed + n * 512;
+        for (int64_t i = 0; i < 8; i++)
+            for (int64_t j = 0; j < 8; j++)
+                std::memcpy(
+                    dense + (((bx * 8 + i) * res) + by * 8 + j) * res + bz * 8,
+                    src + (i * 8 + j) * 8, 8 * sizeof(float));
+    }
+}
 
 }  // extern "C"

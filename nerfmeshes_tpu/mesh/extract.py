@@ -46,7 +46,8 @@ class MeshArgs:
 
 
 def _grid_eval(
-    sample_points_fn, limit: float, nums, *, channels: int, tile: int
+    sample_points_fn, limit: float, nums, *, channels: int, tile: int,
+    density_fn=None,
 ) -> np.ndarray:
     """Evaluate the field over the dense grid entirely on device.
 
@@ -78,6 +79,10 @@ def _grid_eval(
                 ],
                 axis=-1,
             )
+            if channels == 1 and density_fn is not None:
+                # Sigma-only fused path: no color heads, no channel-minor
+                # layouts (see NeRFSystem.density_points).
+                return density_fn(pts)
             out = sample_points_fn(pts, pts)
             return out[..., 3] if channels == 1 else out
 
@@ -99,13 +104,19 @@ def _grid_eval(
 
 
 def extract_density(
-    sample_points_fn, limit: float, nums, *, tile: int = 262144
+    sample_points_fn, limit: float, nums, *, tile: int = 262144,
+    density_fn=None,
 ) -> np.ndarray:
     """Density-only grid (nx, ny, nz) — what geometry extraction needs;
-    transfers 4x less than the full radiance grid."""
+    transfers 4x less than the full radiance grid. `density_fn`
+    ((N,3) pts -> (N,) sigma), when given, replaces the full field query
+    with the sigma-only kernel path."""
     if isinstance(nums, int):
         nums = (nums,) * 3
-    return _grid_eval(sample_points_fn, limit, tuple(nums), channels=1, tile=tile)
+    return _grid_eval(
+        sample_points_fn, limit, tuple(nums), channels=1, tile=tile,
+        density_fn=density_fn,
+    )
 
 
 def extract_radiance(
@@ -124,6 +135,157 @@ def extract_radiance(
     return _grid_eval(sample_points_fn, limit, tuple(nums), channels=4, tile=tile)
 
 
+@dataclass
+class SparseDensityGrid:
+    """Block-sparse density grid (the sparse-transfer mesh path's density
+    return): exact values in the fetched surface-adjacent blocks,
+    per-block one-sided fill elsewhere. `to_dense()` materializes the
+    full res^3 f32 array (expensive on slow hosts — ~res^3*4 bytes)."""
+
+    res: int
+    block_fill: np.ndarray  # (B, B, B) f32 per-block fill values
+    block_ids: np.ndarray  # (K,) int32 flat ids of fetched blocks
+    block_values: np.ndarray  # (K, 512) f32 fetched 8^3 blocks
+
+    @property
+    def shape(self):
+        return (self.res, self.res, self.res)
+
+    def to_dense(self) -> np.ndarray:
+        from nerfmeshes_tpu.mesh.native import fill_blocks_native
+
+        dense = fill_blocks_native(
+            self.res, self.block_fill, self.block_ids, self.block_values
+        )
+        if dense is None:
+            B = self.res // 8
+            dense = np.empty(self.shape, np.float32)
+            v = dense.reshape(B, 8, B, 8, B, 8)
+            v[:] = self.block_fill.astype(np.float32).reshape(B, 1, B, 1, B, 1)
+            bx, by, bz = np.unravel_index(self.block_ids, (B, B, B))
+            v[bx, :, by, :, bz, :] = self.block_values.reshape(-1, 8, 8, 8).astype(
+                np.float32
+            )
+        return dense
+
+
+def _sparse_density_extract(
+    density_fn, limit: float, res: int, iso_level: float, *, tile: int = 262144
+) -> Tuple[SparseDensityGrid, float]:
+    """Density grid via sparse block transfer -> (SparseDensityGrid, iso).
+
+    The dense res^3 grid never crosses to the host: the device computes
+    per-8^3-block min/max over a 1-voxel-halo window (separable strided
+    reduce_window), the host fetches ONLY blocks whose halo range straddles
+    the (adaptively clamped) iso level, and fills the rest with their own
+    halo-min. Every cell is contained in the halo window of each block it
+    touches, so (a) every iso-crossing cell lands entirely in fetched
+    blocks — the extracted surface is EXACT — and (b) unfetched blocks are
+    one-sided, so min-fill introduces no spurious crossings. At 480^3 this
+    replaces a 221MB grid transfer (the wall-clock bottleneck through a
+    TPU tunnel) with ~2-40MB depending on surface area.
+
+    Returns the reconstructed host grid (exact in fetched blocks,
+    block-min elsewhere) and the clamped iso value.
+    """
+    import time
+
+    assert res % 8 == 0
+    import jax.numpy as jnp
+    from jax import lax
+
+    B = res // 8
+    n = res**3
+    n_tiles = -(-n // tile)
+    scale = 2.0 * limit / max(res - 1, 1)
+
+    @jax.jit
+    def stage1():
+        def tile_fn(i):
+            idx = i * tile + jnp.arange(tile)
+            x = idx // (res * res)
+            rem = idx % (res * res)
+            pts = jnp.stack(
+                [
+                    -limit + x.astype(jnp.float32) * scale,
+                    -limit + (rem // res).astype(jnp.float32) * scale,
+                    -limit + (rem % res).astype(jnp.float32) * scale,
+                ],
+                axis=-1,
+            )
+            return density_fn(pts)
+
+        flat = lax.map(tile_fn, jnp.arange(n_tiles)).reshape(-1)[:n]
+        sigma = flat.reshape(res, res, res).astype(jnp.float16)
+        # Adaptive iso stats (extract_iso_level) on device: scalars only.
+        s32 = flat
+        mean = jnp.mean(s32)
+        var = jnp.maximum(jnp.mean(s32 * s32) - mean * mean, 0.0)
+        # Per-block stats by separable reshape-reduce (layout-friendly:
+        # no strided windows), then a 3^3-neighborhood dilation on the
+        # tiny (B,B,B) array. The dilated range is a superset of the
+        # 1-voxel-halo range, so the fetch set stays a superset of every
+        # block a crossing cell touches (correctness unchanged, slightly
+        # more blocks fetched).
+        def blockify(x, reduce_fn):
+            x = reduce_fn(x.reshape(B, 8, res, res), axis=1)
+            x = reduce_fn(x.reshape(B, B, 8, res), axis=2)
+            x = reduce_fn(x.reshape(B, B, B, 8), axis=3)
+            return x
+
+        def dilate(x, pair_fn, pad_val):
+            for axis in range(3):
+                p = jnp.full_like(jnp.take(x, jnp.array([0]), axis=axis), pad_val)
+                lo = jnp.concatenate([p, jnp.take(x, jnp.arange(B - 1), axis=axis)], axis=axis)
+                hi = jnp.concatenate([jnp.take(x, jnp.arange(1, B), axis=axis), p], axis=axis)
+                x = pair_fn(pair_fn(lo, hi), x)
+            return x
+
+        bmin_own = blockify(sigma, jnp.min)
+        bmin = dilate(bmin_own, jnp.minimum, jnp.float16(np.inf))
+        bmax = dilate(blockify(sigma, jnp.max), jnp.maximum, jnp.float16(-np.inf))
+        return sigma, flat.min(), flat.max(), jnp.sqrt(var), bmin_own, bmin, bmax
+
+    t0 = time.time()
+    sigma_dev, mn, mx, std, bmin_own, bminh, bmaxh = stage1()
+    jax.block_until_ready(sigma_dev)
+    LAST_TIMINGS["grid_eval_device_s"] = time.time() - t0
+
+    t0 = time.time()
+    mn, mx, std = float(mn), float(mx), float(std)
+    iso = float(min(max(iso_level, mn + std), mx - std))
+    bmin_own = np.asarray(bmin_own)
+    bminh = np.asarray(bminh)
+    bmaxh = np.asarray(bmaxh)
+    fetch = (bminh <= iso) & (bmaxh >= iso)  # (B, B, B) halo straddle
+    idx = np.flatnonzero(fetch)
+    pad_to = max(4096, -(-idx.size // 4096) * 4096)
+    idx_p = np.zeros(pad_to, np.int32)
+    idx_p[: idx.size] = idx
+
+    @jax.jit
+    def stage2(sigma, blocks):
+        sb = (
+            sigma.reshape(B, 8, B, 8, B, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(B * B * B, 512)
+        )
+        return jnp.take(sb, blocks, axis=0)
+
+    packed = np.asarray(stage2(sigma_dev, jnp.asarray(idx_p)))[: idx.size]
+    LAST_TIMINGS["grid_transfer_s"] = time.time() - t0
+    LAST_TIMINGS["sparse_blocks_fetched"] = int(idx.size)
+    LAST_TIMINGS["sparse_blocks_total"] = int(B**3)
+
+    grid = SparseDensityGrid(
+        res=res,
+        block_fill=bmin_own.astype(np.float32),
+        block_ids=idx.astype(np.int32),
+        block_values=packed.astype(np.float32),
+    )
+    return grid, iso
+
+
 def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
     """Adaptive clamp of the iso level into [min+std, max-std]
     (reference: src/mesh_nerf.py:56-65)."""
@@ -132,14 +294,26 @@ def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
 
 
 def extract_geometry(
-    sample_points_fn, args: MeshArgs
+    sample_points_fn, args: MeshArgs, *, density_fn=None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(vertices in world coords, triangles, normals, density grid)
-    (reference: src/mesh_nerf.py:68-92)."""
+    (reference: src/mesh_nerf.py:68-92).
+
+    With a `density_fn` and res % 8 == 0, the grid transfers sparsely
+    (_sparse_density_extract): the extracted surface is exact; the
+    returned density grid is exact in surface-adjacent blocks and
+    block-min-filled elsewhere."""
     import time
 
-    density = extract_density(sample_points_fn, args.limit, args.res)
-    iso_value = extract_iso_level(density, args.iso_level)
+    if density_fn is not None and args.res % 8 == 0 and args.res >= 32:
+        density, iso_value = _sparse_density_extract(
+            density_fn, args.limit, args.res, args.iso_level
+        )
+    else:
+        density = extract_density(
+            sample_points_fn, args.limit, args.res, density_fn=density_fn
+        )
+        iso_value = extract_iso_level(density, args.iso_level)
     t0 = time.time()
     vertices, triangles, normals = marching_cubes(density, iso_value)
     LAST_TIMINGS["marching_cubes_s"] = time.time() - t0
@@ -149,7 +323,7 @@ def extract_geometry(
 
 
 def extract_geometry_with_super_sampling(
-    sample_points_fn, args: MeshArgs
+    sample_points_fn, args: MeshArgs, *, density_fn=None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Axis-wise super-sampled extraction.
 
@@ -167,7 +341,9 @@ def extract_geometry_with_super_sampling(
     for axis in range(3):
         nums = [base, base, base]
         nums[axis] = dense
-        density = extract_density(sample_points_fn, args.limit, tuple(nums))
+        density = extract_density(
+            sample_points_fn, args.limit, tuple(nums), density_fn=density_fn
+        )
         # Average the super-sampled axis back to base resolution: sample i
         # covers fine indices [i*(s+1) - s/2, ...]; use strided mean.
         fine = np.moveaxis(density, axis, 0)
@@ -211,7 +387,10 @@ def export_marching_cubes(
         data = np.load(cache_path)
         vertices, triangles, normals = data["vertices"], data["triangles"], data["normals"]
     else:
-        vertices, triangles, normals, density = geometry_fn(system.sample_points, args)
+        vertices, triangles, normals, density = geometry_fn(
+            system.sample_points, args,
+            density_fn=getattr(system, "density_points", None),
+        )
         if args.use_cached_mesh or args.override_cache_mesh:
             np.savez(cache_path, vertices=vertices, triangles=triangles, normals=normals)
 

@@ -50,6 +50,29 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ]
         lib.mt_free.argtypes = [ctypes.c_void_p]
+        lib.mt_fill_blocks.restype = None
+        lib.mt_fill_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.mt_extract_sparse.restype = ctypes.c_int64
+        lib.mt_extract_sparse.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ]
         return lib
     except Exception:
         _build_failed = True
@@ -100,6 +123,74 @@ def marching_tetrahedra_native(
         lib.mt_free(tris_p)
         lib.mt_free(normals_p)
     return verts, tris, normals
+
+
+def marching_sparse_native(
+    res: int, fill: np.ndarray, ids: np.ndarray, packed: np.ndarray, iso: float
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """(verts, tris, normals) from the sparse block representation without
+    ever materializing the dense grid; None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_extract_sparse"):
+        return None
+    fill = np.ascontiguousarray(fill, np.float32)
+    ids = np.ascontiguousarray(ids, np.int32)
+    packed = np.ascontiguousarray(packed, np.float32)
+
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    tris_p = ctypes.POINTER(ctypes.c_int32)()
+    normals_p = ctypes.POINTER(ctypes.c_float)()
+    nverts = ctypes.c_int64()
+    ntris = ctypes.c_int64()
+    rc = lib.mt_extract_sparse(
+        res, res // 8,
+        fill.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ids.size,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(float(iso)),
+        ctypes.byref(verts_p), ctypes.byref(nverts),
+        ctypes.byref(tris_p), ctypes.byref(ntris),
+        ctypes.byref(normals_p),
+    )
+    if rc != 0:
+        return None
+    try:
+        nv, nt = nverts.value, ntris.value
+        verts = np.ctypeslib.as_array(verts_p, shape=(nv * 3,)).reshape(nv, 3).copy()
+        tris = np.ctypeslib.as_array(tris_p, shape=(nt * 3,)).reshape(nt, 3).copy()
+        normals = (
+            np.ctypeslib.as_array(normals_p, shape=(nv * 3,)).reshape(nv, 3).copy()
+        )
+    finally:
+        lib.mt_free(verts_p)
+        lib.mt_free(tris_p)
+        lib.mt_free(normals_p)
+    return verts, tris, normals
+
+
+def fill_blocks_native(
+    res: int, fill: np.ndarray, ids: np.ndarray, packed: np.ndarray
+) -> Optional[np.ndarray]:
+    """Dense (res,res,res) f32 grid from per-block fills + fetched blocks
+    (see native mt_fill_blocks); None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_fill_blocks"):
+        return None
+    B = res // 8
+    dense = np.empty((res, res, res), np.float32)
+    fill = np.ascontiguousarray(fill, np.float32)
+    ids = np.ascontiguousarray(ids, np.int32)
+    packed = np.ascontiguousarray(packed, np.float32)
+    lib.mt_fill_blocks(
+        dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        res, B,
+        fill.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ids.size,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return dense
 
 
 def marching_tetrahedra_numpy(
@@ -199,10 +290,20 @@ def marching_tetrahedra_numpy(
     return verts.astype(np.float32), tris, normals.astype(np.float32)
 
 
-def marching_cubes(density: np.ndarray, iso: float):
+def marching_cubes(density, iso: float):
     """Extract the iso-surface: (verts, tris, normals) in grid-index
     coordinates (drop-in for the reference's skimage call,
-    src/mesh_nerf.py:79-92)."""
+    src/mesh_nerf.py:79-92). Accepts a dense (nx,ny,nz) array or a
+    SparseDensityGrid (mesh/extract.py), which marches straight from the
+    fetched blocks without ever materializing the dense grid."""
+    if hasattr(density, "block_ids"):  # SparseDensityGrid
+        out = marching_sparse_native(
+            density.res, density.block_fill, density.block_ids,
+            density.block_values, iso,
+        )
+        if out is not None:
+            return out
+        density = density.to_dense()
     out = marching_tetrahedra_native(density, iso)
     if out is None:
         out = marching_tetrahedra_numpy(density, iso)

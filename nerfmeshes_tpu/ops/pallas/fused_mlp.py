@@ -213,6 +213,29 @@ def pack_rays(origins, directions, z_vals):
     return jnp.stack(rows).reshape(PTS_W, R * S)
 
 
+def _flat_trunk(spec: MLPSpec, get) -> List[jnp.ndarray]:
+    """Padded flat weights of layer1 + trunk (shared by the full and the
+    sigma-only flattenings)."""
+    bf16 = jnp.bfloat16
+    flat: List[jnp.ndarray] = []
+    # layer1: (pe_x, hidden)
+    W, b = get(0)
+    flat += [_pad_axis(W, spec.comb_width, 0).astype(bf16), b.astype(jnp.float32)]
+    # trunk layers
+    for i in range(1, spec.num_layers):
+        W, b = get(i)
+        if (i - 1) in spec.skip_layers:
+            Wx, Wpe = W[: spec.hidden], W[spec.hidden :]
+            flat += [
+                Wx.astype(bf16),
+                _pad_axis(Wpe, spec.comb_width, 0).astype(bf16),
+                b.astype(jnp.float32),
+            ]
+        else:
+            flat += [W.astype(bf16), b.astype(jnp.float32)]
+    return flat
+
+
 def _params_to_flat(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
     """Flax FlexibleNeRFModel params -> padded flat weight list.
 
@@ -230,24 +253,8 @@ def _params_to_flat(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
         # biases as (1, F): TPU VMEM wants >=2-D operands.
         return jnp.asarray(leaf["kernel"]), jnp.asarray(leaf["bias"])[None, :]
 
-    flat: List[jnp.ndarray] = []
+    flat = _flat_trunk(spec, get)
     bf16 = jnp.bfloat16
-
-    # layer1: (pe_x, hidden)
-    W, b = get(0)
-    flat += [_pad_axis(W, spec.comb_width, 0).astype(bf16), b.astype(jnp.float32)]
-    # trunk layers
-    for i in range(1, spec.num_layers):
-        W, b = get(i)
-        if (i - 1) in spec.skip_layers:
-            Wx, Wpe = W[: spec.hidden], W[spec.hidden :]
-            flat += [
-                Wx.astype(bf16),
-                _pad_axis(Wpe, spec.comb_width, 0).astype(bf16),
-                b.astype(jnp.float32),
-            ]
-        else:
-            flat += [W.astype(bf16), b.astype(jnp.float32)]
     # feat head + separate alpha head (alpha is produced TRANSPOSED as a
     # (1, T) row so the kernel can emit the channels-first output without
     # an in-kernel transpose)
@@ -277,13 +284,10 @@ def _params_to_flat(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
     return flat
 
 
-def _forward_tile(spec: MLPSpec, pe_t, ws: Sequence, *, save_acts=False):
-    """Shared per-tile forward. ws is the flat weight list (values, not refs);
-    pe_t is the TRANSPOSED (comb, T) bf16 PE block (contracted over dim 0).
-    Returns (out (T,4) f32, acts) where acts are pre-activation inputs of
-    each trunk layer (bf16) when save_acts."""
+def _make_dots(pe_t):
+    """The two contraction helpers every tile body uses: activations @ W
+    (bf16 in, f32 accum) and pe_t^T @ W without a transpose."""
     bf16 = jnp.bfloat16
-    idx = 0
 
     def dot(a, W):
         return jax.lax.dot_general(
@@ -299,6 +303,17 @@ def _forward_tile(spec: MLPSpec, pe_t, ws: Sequence, *, save_acts=False):
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    return dot, dot_pe
+
+
+def _trunk_tile(spec: MLPSpec, pe_t, ws: Sequence, *, save_acts=False):
+    """layer1 + trunk (shared by the full forward and the sigma-only
+    kernel). Returns (trunk output x (T, hidden) f32, acts, idx) where idx
+    is the position of the first head weight in ws."""
+    bf16 = jnp.bfloat16
+    dot, dot_pe = _make_dots(pe_t)
+    idx = 0
 
     acts = []
 
@@ -322,6 +337,20 @@ def _forward_tile(spec: MLPSpec, pe_t, ws: Sequence, *, save_acts=False):
             x = jax.nn.relu(dot(x, W) + b)
     if save_acts:
         stash(x)  # trunk output (input of heads)
+    return x, acts, idx
+
+
+def _forward_tile(spec: MLPSpec, pe_t, ws: Sequence, *, save_acts=False):
+    """Shared per-tile forward. ws is the flat weight list (values, not refs);
+    pe_t is the TRANSPOSED (comb, T) bf16 PE block (contracted over dim 0).
+    Returns (out (T,4) f32, acts) where acts are pre-activation inputs of
+    each trunk layer (bf16) when save_acts."""
+    bf16 = jnp.bfloat16
+    dot, dot_pe = _make_dots(pe_t)
+    x, acts, idx = _trunk_tile(spec, pe_t, ws, save_acts=save_acts)
+
+    def stash(v):
+        acts.append(v.astype(bf16))
 
     Wf, bf_ = ws[idx], ws[idx + 1]
     Wa, ba = ws[idx + 2], ws[idx + 3]
@@ -605,6 +634,102 @@ def fused_mlp_infer(spec: MLPSpec, pd, flat_weights):
     training goes through fused_mlp_train."""
     out, _ = _fused_mlp_fwd(spec, pd, flat_weights)
     return jax.lax.stop_gradient(out)
+
+
+TILE_SIGMA = 8192
+
+
+def pack_points_sigma(pts):
+    """(N,3) points -> packed (PTS_W, N) f32 sigma-kernel input. Density
+    does not depend on view direction (the alpha head hangs off the trunk,
+    reference: src/nerf/models.py:52-54), so the dir rows are zero; row 6
+    stays all-ones for the cos phase column."""
+    n = pts.shape[0]
+    z = jnp.zeros((n,), jnp.float32)
+    rows = [
+        pts[:, 0].astype(jnp.float32),
+        pts[:, 1].astype(jnp.float32),
+        pts[:, 2].astype(jnp.float32),
+        z, z, z,
+        jnp.ones((n,), jnp.float32),
+        z,
+    ]
+    return jnp.stack(rows)
+
+
+def _params_to_flat_sigma(spec: MLPSpec, params: Any) -> List[jnp.ndarray]:
+    """Flat weights for the sigma-only kernel: layer1 + trunk + alpha head.
+    The feat/dir/rgb heads (~18% of the FLOPs) are never shipped."""
+    p = params["params"] if "params" in params else params
+
+    def get(i):
+        leaf = p[f"TorchLinear_{i}"]
+        return jnp.asarray(leaf["kernel"]), jnp.asarray(leaf["bias"])[None, :]
+
+    flat = _flat_trunk(spec, get)
+    Wa, ba = get(spec.num_layers + 1)
+    flat += [Wa.astype(jnp.bfloat16), ba.reshape(1, 1).astype(jnp.float32)]
+    return flat
+
+
+def _sigma_kernel(spec: MLPSpec, n_weights: int, *refs):
+    pd_ref, c_ref = refs[:2]
+    w_refs = refs[2 : 2 + n_weights]
+    out_ref = refs[2 + n_weights]
+    ws = [r[:] for r in w_refs]
+    pe_t = _assemble_pe(spec, pd_ref[:], c_ref[:])
+    x, _, idx = _trunk_tile(spec, pe_t, ws)
+    Wa, ba = ws[idx], ws[idx + 1]
+    # sigma TRANSPOSED (1, T): contract Wa's hidden dim with x's — lands in
+    # the lane-dense output row without any in-kernel transpose.
+    out_ref[:] = (
+        jax.lax.dot_general(
+            Wa,
+            x.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + ba
+    )
+
+
+def fused_sigma_from_packed(model, params, pd, *, tile: int = TILE_SIGMA):
+    """Density-only field query from a packed (PTS_W, N) input -> (N,) f32
+    raw sigma (pre-ReLU, matching model.apply(...)[..., 3]).
+
+    This is the mesh-extraction hot path (res^3 grid evals,
+    src/mesh_nerf.py:27-53): vs the full fused forward it skips the
+    feat/dir/rgb heads and never produces a channel-minor output, so no
+    lane-padded (N, 4) array or (4, N) -> (N, 4) relayout exists anywhere.
+    """
+    spec = spec_from_model(model)
+    flat = _params_to_flat_sigma(spec, params)
+    pd_p, n, n_pad = _pad_packed(pd, tile)
+    consts = jnp.asarray(_pe_lane_consts(spec))
+    n_w = len(flat)
+
+    in_specs = [
+        pl.BlockSpec((PTS_W, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_w)]
+
+    out = pl.pallas_call(
+        functools.partial(_sigma_kernel, spec, n_w),
+        grid=(n_pad // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(pd_p, consts, *flat)
+    return jax.lax.stop_gradient(out[0, :n])
+
+
+def fused_sigma_points(model, params, points, *, tile: int = TILE_SIGMA):
+    """Density at (…, 3) points via the sigma-only kernel -> (…,) f32."""
+    pts = points.reshape(-1, 3)
+    out = fused_sigma_from_packed(model, params, pack_points_sigma(pts), tile=tile)
+    return out.reshape(points.shape[:-1])
 
 
 def spec_from_model(model) -> MLPSpec:

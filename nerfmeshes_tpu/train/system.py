@@ -158,6 +158,32 @@ class NeRFSystem:
             out = out[0]
         return out
 
+    def density_points(self, points):
+        """Density-only point query of the finest field -> (...,) raw sigma.
+
+        The geometry half of mesh extraction (res^3 grid evals,
+        src/mesh_nerf.py:27-53 keeps only channel 3) never needs the
+        color heads: eligible models run the sigma-only fused kernel,
+        which also skips the channel-minor output relayout."""
+        model = self.fine if self.fine is not None else self.coarse
+        params = (
+            self.state.params["fine"]
+            if self.fine is not None
+            else self.state.params["coarse"]
+        )
+        if bool(self.cfg.experiment.get("use_fused_kernel", True)):
+            from nerfmeshes_tpu.ops.pallas.fused_mlp import (
+                fused_sigma_points,
+                supports_fused,
+            )
+
+            if supports_fused(model):
+                return fused_sigma_points(model, params, points)
+        out = model.apply(params, points, points)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out[..., 3]
+
     # -- validation -----------------------------------------------------------------
     def validate(self, max_images: Optional[int] = None, log_images: bool = True) -> dict:
         cfg_val = self.cfg.nerf.validation
@@ -248,7 +274,9 @@ class NeRFSystem:
         n_samples = int(cfg.experiment.chamfer_sampling_size)
         verts_t, faces_t, _, _ = import_obj(str(target_path))
         verts, faces, _, _ = extract_geometry(
-            self.sample_points, MeshArgs(res=64, limit=1.2, iso_level=32)
+            self.sample_points,
+            MeshArgs(res=64, limit=1.2, iso_level=32),
+            density_fn=self.density_points,
         )
         if len(faces) == 0:
             return None

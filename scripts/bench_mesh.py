@@ -50,10 +50,12 @@ def main() -> None:
 
     # Warm the jitted grid-eval tile (compile excluded from the timing).
     warm = MeshArgs(res=64, limit=2.0, iso_level=32.0)
-    extract_geometry(system.sample_points, warm)
+    extract_geometry(system.sample_points, warm, density_fn=system.density_points)
 
     t0 = time.time()
-    verts, tris, normals, density = extract_geometry(system.sample_points, args)
+    verts, tris, normals, density = extract_geometry(
+        system.sample_points, args, density_fn=system.density_points
+    )
     t_geom = time.time() - t0
     from nerfmeshes_tpu.mesh import extract as _ex
 
@@ -66,6 +68,7 @@ def main() -> None:
         f"marching cubes {tim.get('marching_cubes_s', 0):.1f}s; "
         f"{len(verts)} verts / {len(tris)} tris"
     )
+    print(f"  all timings: { {k: round(v, 2) if isinstance(v, float) else v for k, v in tim.items()} }")
 
     # Inverse-normal appearance pass (reference: src/mesh_nerf.py:164-193).
     t0 = time.time()

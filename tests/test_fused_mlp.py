@@ -164,3 +164,30 @@ def test_forward_and_grad_parity_architectures(rng, kw):
     assert err_fused < max(2.0 * err_ref, 5e-2), (
         f"fused grads ({err_fused:.4f} vs f64) worse than flax ({err_ref:.4f})"
     )
+
+
+@pytest.mark.parametrize("num_layers,skip", [(4, 2), (8, 4)])
+def test_sigma_only_parity(rng, num_layers, skip):
+    from nerfmeshes_tpu.ops.pallas.fused_mlp import fused_sigma_points
+
+    model = make(num_layers=num_layers, skip=skip)
+    pts = jnp.asarray(rng.standard_normal((40, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), pts, pts)
+    ref = model.apply(params, pts, pts)[..., 3]
+    got = fused_sigma_points(model, params, pts)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_sigma_only_matches_full_fused(rng):
+    # The sigma row of the full fused forward and the sigma-only kernel
+    # must agree exactly (same weights, same contraction order).
+    from nerfmeshes_tpu.ops.pallas.fused_mlp import fused_sigma_points
+
+    model = make()
+    pts = jnp.asarray(rng.standard_normal((33, 3)).astype(np.float32))
+    dirs = jnp.zeros_like(pts)
+    params = model.init(jax.random.key(0), pts, dirs)
+    full = fused_flexible_apply(model, params, pts, dirs, inference=True)[..., 3]
+    sig = fused_sigma_points(model, params, pts)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(full), atol=1e-5, rtol=1e-5)

@@ -229,3 +229,61 @@ def test_chamfer_validation_metric(tmp_path):
     metrics = system.validate(log_images=False)
     assert "validation/chamfer_loss" in metrics
     assert np.isfinite(metrics["validation/chamfer_loss"])
+
+
+def test_sparse_density_extract_exact_surface():
+    """The sparse block-transfer path must reproduce the dense path's
+    marching-cubes surface exactly (crossing cells always land in fetched
+    blocks), and fill unfetched blocks one-sidedly."""
+    import jax.numpy as jnp
+
+    from nerfmeshes_tpu.mesh.extract import (
+        _sparse_density_extract,
+        extract_iso_level,
+        marching_cubes,
+    )
+
+    res, limit = 48, 1.2
+
+    def density_fn(pts):
+        # Two blobs -> non-trivial surface with plenty of empty blocks.
+        r1 = jnp.linalg.norm(pts - jnp.array([0.3, 0.0, 0.1]), axis=-1)
+        r2 = jnp.linalg.norm(pts + jnp.array([0.4, 0.2, 0.0]), axis=-1)
+        return 80.0 * jnp.maximum(0.45 - r1, 0.0) + 60.0 * jnp.maximum(
+            0.35 - r2, 0.0
+        )
+
+    # Dense reference grid at the same f16 quantization the sparse path uses.
+    xs = np.linspace(-limit, limit, res, dtype=np.float32)
+    pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+    dense = (
+        np.asarray(density_fn(jnp.asarray(pts)))
+        .astype(np.float16)
+        .astype(np.float32)
+        .reshape(res, res, res)
+    )
+    iso_ref = extract_iso_level(dense, 32.0)
+
+    sparse, iso = _sparse_density_extract(density_fn, limit, res, 32.0, tile=4096)
+    assert abs(iso - iso_ref) < 0.5  # device-vs-host stats tolerance
+
+    v_ref, t_ref, _ = marching_cubes(dense, iso)
+    v_sp, t_sp, _ = marching_cubes(sparse, iso)
+    # Identical surface, possibly different traversal order: compare the
+    # triangle sets with vertices resolved to coordinates.
+    assert v_ref.shape == v_sp.shape and t_ref.shape == t_sp.shape
+
+    def canon(v, t):
+        tv = v[t].round(4)  # (T, 3, 3) triangles as coordinates
+        tv = tv.reshape(len(tv), 9)
+        order = np.lexsort(tv.T)
+        return tv[order]
+
+    np.testing.assert_allclose(canon(v_sp, t_sp), canon(v_ref, t_ref), atol=2e-4)
+    # Sparse to_dense reconstruction marches to the same surface too.
+    v_d, t_d, _ = marching_cubes(sparse.to_dense(), iso)
+    np.testing.assert_allclose(canon(v_d, t_d), canon(v_ref, t_ref), atol=2e-4)
+    # Plenty of blocks skipped in transfer.
+    from nerfmeshes_tpu.mesh.extract import LAST_TIMINGS
+
+    assert LAST_TIMINGS["sparse_blocks_fetched"] < 0.5 * LAST_TIMINGS["sparse_blocks_total"]
