@@ -129,32 +129,36 @@ def main() -> None:
             supports_fused,
         )
 
-        n_pts = 262144
+        n_pts = 1048576
         jnp = jax.numpy
 
+        # Loop-carried chaining (carry perturbs the grid origin): through
+        # the TPU tunnel, block_until_ready on independent dispatches
+        # under-reports; a data dependency forces honest timing.
         @jax.jit
-        def grid_eval(p):
+        def grid_eval(p, carry):
             idx = jnp.arange(n_pts)
-            nyz, nz = 64 * 64, 64
+            nyz, nz = 128 * 128, 128
             pts = jnp.stack(
                 [
-                    (idx // nyz).astype(jnp.float32) / 32.0 - 1.0,
-                    ((idx % nyz) // nz).astype(jnp.float32) / 32.0 - 1.0,
-                    (idx % nz).astype(jnp.float32) / 32.0 - 1.0,
+                    (idx // nyz).astype(jnp.float32) / 64.0 - 1.0 + carry * 1e-12,
+                    ((idx % nyz) // nz).astype(jnp.float32) / 64.0 - 1.0,
+                    (idx % nz).astype(jnp.float32) / 64.0 - 1.0,
                 ],
                 axis=-1,
             )
             if supports_fused(fine):
-                return fused_sigma_points(fine, p["fine"], pts)
-            return fine.apply(p["fine"], pts, pts)[..., 3]
+                return fused_sigma_points(fine, p["fine"], pts)[0]
+            return fine.apply(p["fine"], pts, pts)[0, 3]
 
-        out = grid_eval(state.params)
-        jax.block_until_ready(out)
+        carry = grid_eval(state.params, jax.numpy.float32(0.0))
+        jax.block_until_ready(carry)
+        reps = 10
         t0 = time.time()
-        for _ in range(10):
-            out = grid_eval(state.params)
-        jax.block_until_ready(out)
-        return 10 * n_pts / (time.time() - t0)
+        for _ in range(reps):
+            carry = grid_eval(state.params, carry)
+        float(_np.asarray(carry))
+        return reps * n_pts / (time.time() - t0)
 
     def _buff_metric():
         # BuFF train throughput (the reference's novel component;
