@@ -111,13 +111,15 @@ def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     pos_b = (
         jnp.arange(m) + jnp.sum((a[..., None, :] <= b[..., :, None]), axis=-1)
     )
-    # Scatter via one-hot contraction (TPU scatter is per-element and slow;
-    # the positions form a permutation so the two contributions just add).
-    oh_a = jax.nn.one_hot(pos_a, n + m, dtype=a.dtype)
-    oh_b = jax.nn.one_hot(pos_b, n + m, dtype=b.dtype)
-    return jnp.einsum("...n,...nk->...k", a, oh_a) + jnp.einsum(
-        "...m,...mk->...k", b, oh_b
-    )
+    # The positions form a permutation and the result is ascending, so
+    # slot k holds the max of every value placed at slots <= k — two
+    # masked prefix-max reductions instead of one-hot scatter
+    # contractions (cheaper: compare/select/max, nothing materialized).
+    big = jnp.asarray(jnp.finfo(a.dtype).max, a.dtype)
+    ks = jnp.arange(n + m)
+    a_sel = jnp.where(pos_a[..., :, None] <= ks, a[..., :, None], -big)
+    b_sel = jnp.where(pos_b[..., :, None] <= ks, b[..., :, None], -big)
+    return jnp.maximum(jnp.max(a_sel, axis=-2), jnp.max(b_sel, axis=-2))
 
 
 def sample_pdf(
@@ -159,15 +161,20 @@ def sample_pdf(
         else:
             u = jax.random.uniform(key, (*batch_shape, num_samples), dtype=cdf.dtype)
 
-    inds = _searchsorted_right(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
-
-    cdf_below = take_along_last(cdf, below)
-    cdf_above = take_along_last(cdf, above)
-    # len(bins) == len(cdf) - 1 == B, and below/above are in [0, B-1].
-    bins_below = take_along_last(bins, below)
-    bins_above = take_along_last(bins, above)
+    # Inverse-CDF lookup as masked extremum reductions: because cdf and
+    # bins are sorted, gather-at-(inds-1) == prefix-max under the mask
+    # cdf[b] <= u, and gather-at-inds == suffix-min under its complement
+    # (clamped to the last bin when u >= cdf[-1]). This replaces
+    # searchsorted + four one-hot gather contractions with compare/select
+    # reductions — no (..., S, B) one-hot ever materializes.
+    big = jnp.asarray(jnp.finfo(cdf.dtype).max, cdf.dtype)
+    le = cdf[..., None, :] <= u[..., :, None]  # (..., S, B)
+    cdf_below = jnp.max(jnp.where(le, cdf[..., None, :], -big), axis=-1)
+    bins_below = jnp.max(jnp.where(le, bins[..., None, :], -big), axis=-1)
+    cdf_above = jnp.min(jnp.where(le, big, cdf[..., None, :]), axis=-1)
+    bins_above = jnp.min(jnp.where(le, big, bins[..., None, :]), axis=-1)
+    cdf_above = jnp.where(cdf_above == big, cdf[..., -1:], cdf_above)
+    bins_above = jnp.where(bins_above == big, bins[..., -1:], bins_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
