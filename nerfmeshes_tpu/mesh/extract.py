@@ -244,19 +244,27 @@ def _sparse_density_extract(
         bmin_own = blockify(sigma, jnp.min)
         bmin = dilate(bmin_own, jnp.minimum, jnp.float16(np.inf))
         bmax = dilate(blockify(sigma, jnp.max), jnp.maximum, jnp.float16(-np.inf))
-        return sigma, flat.min(), flat.max(), jnp.sqrt(var), bmin_own, bmin, bmax
+        # One stacked host transfer: scalars + the three block-stat grids
+        # (separate fetches each pay the ~100ms tunnel round-trip).
+        stats = jnp.stack(
+            [flat.min(), flat.max(), jnp.sqrt(var)]
+        ).astype(jnp.float32)
+        blocks3 = jnp.stack(
+            [bmin_own.astype(jnp.float32), bmin.astype(jnp.float32),
+             bmax.astype(jnp.float32)]
+        )
+        return sigma, stats, blocks3
 
     t0 = time.time()
-    sigma_dev, mn, mx, std, bmin_own, bminh, bmaxh = stage1()
+    sigma_dev, stats_dev, blocks3_dev = stage1()
     jax.block_until_ready(sigma_dev)
     LAST_TIMINGS["grid_eval_device_s"] = time.time() - t0
 
     t0 = time.time()
-    mn, mx, std = float(mn), float(mx), float(std)
+    mn, mx, std = (float(v) for v in np.asarray(stats_dev))
     iso = float(min(max(iso_level, mn + std), mx - std))
-    bmin_own = np.asarray(bmin_own)
-    bminh = np.asarray(bminh)
-    bmaxh = np.asarray(bmaxh)
+    blocks3 = np.asarray(blocks3_dev)
+    bmin_own, bminh, bmaxh = blocks3[0], blocks3[1], blocks3[2]
     fetch = (bminh <= iso) & (bmaxh >= iso)  # (B, B, B) halo straddle
     idx = np.flatnonzero(fetch)
     pad_to = max(4096, -(-idx.size // 4096) * 4096)

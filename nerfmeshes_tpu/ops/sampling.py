@@ -57,30 +57,6 @@ def ray_sample_interval(
     return intervals
 
 
-def _searchsorted_right(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
-    """Batched searchsorted(side='right') via a comparison contraction.
-
-    sorted_seq: (..., B), values: (..., S) -> int32 (..., S).
-    A dense (S, B) comparison per batch row maps onto the VPU far better
-    than a per-row binary search would.
-    """
-    return jnp.sum(
-        (sorted_seq[..., None, :] <= values[..., :, None]).astype(jnp.int32), axis=-1
-    )
-
-
-def take_along_last(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """values (..., B) gathered at idx (..., S) -> (..., S).
-
-    One-hot contraction on the MXU instead of jnp.take_along_axis: XLA's
-    per-element gather was the single hottest op in the profiled train step
-    (~5 ms per 2048x128 gather); the dense (S, B) one-hot batched matmul is
-    ~50x cheaper for the small trailing dims used here.
-    """
-    onehot = jax.nn.one_hot(idx, values.shape[-1], dtype=values.dtype)
-    return jnp.einsum("...sb,...b->...s", onehot, values)
-
-
 def sorted_uniforms(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     """Order statistics of iid U(0,1) along the last axis WITHOUT a sort.
 
