@@ -175,18 +175,15 @@ def _sparse_density_extract(
     """Density grid via sparse block transfer -> (SparseDensityGrid, iso).
 
     The dense res^3 grid never crosses to the host: the device computes
-    per-8^3-block min/max over a 1-voxel-halo window (separable strided
-    reduce_window), the host fetches ONLY blocks whose halo range straddles
-    the (adaptively clamped) iso level, and fills the rest with their own
-    halo-min. Every cell is contained in the halo window of each block it
-    touches, so (a) every iso-crossing cell lands entirely in fetched
-    blocks — the extracted surface is EXACT — and (b) unfetched blocks are
-    one-sided, so min-fill introduces no spurious crossings. At 480^3 this
+    per-8^3-block min/max (reshape-reduce) dilated over the 3^3 block
+    neighborhood, and the host fetches ONLY blocks whose dilated range
+    straddles the (adaptively clamped) iso level. Every cell lies inside
+    the dilated window of each block it touches, so (a) every
+    iso-crossing cell lands entirely in fetched blocks — the extracted
+    surface is EXACT — and (b) unfetched blocks are one-sided, so a
+    per-block min fill introduces no spurious crossings. At 480^3 this
     replaces a 221MB grid transfer (the wall-clock bottleneck through a
     TPU tunnel) with ~2-40MB depending on surface area.
-
-    Returns the reconstructed host grid (exact in fetched blocks,
-    block-min elsewhere) and the clamped iso value.
     """
     import time
 
