@@ -1,6 +1,7 @@
 from nerfmeshes_tpu.mesh.extract import (
     MeshArgs,
     export_marching_cubes,
+    SparseDensityGrid,
     extract_geometry,
     extract_geometry_with_super_sampling,
     extract_iso_level,
@@ -18,6 +19,7 @@ from nerfmeshes_tpu.mesh.native import marching_cubes
 __all__ = [
     "MeshArgs",
     "export_marching_cubes",
+    "SparseDensityGrid",
     "extract_geometry",
     "extract_geometry_with_super_sampling",
     "extract_iso_level",

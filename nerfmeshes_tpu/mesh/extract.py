@@ -305,9 +305,11 @@ def extract_geometry(
     (reference: src/mesh_nerf.py:68-92).
 
     With a `density_fn` and res % 8 == 0, the grid transfers sparsely
-    (_sparse_density_extract): the extracted surface is exact; the
-    returned density grid is exact in surface-adjacent blocks and
-    block-min-filled elsewhere."""
+    (_sparse_density_extract) and the 4th return is a
+    `SparseDensityGrid` — NOT an ndarray. It marches identically
+    (marching_cubes accepts it) and `.to_dense()` materializes the full
+    array (exact in surface-adjacent blocks, block-min elsewhere);
+    callers needing ndarray semantics on the density must convert."""
     import time
 
     if density_fn is not None and args.res % 8 == 0 and args.res >= 32:

@@ -50,29 +50,35 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ]
         lib.mt_free.argtypes = [ctypes.c_void_p]
-        lib.mt_fill_blocks.restype = None
-        lib.mt_fill_blocks.argtypes = [
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.mt_extract_sparse.restype = ctypes.c_int64
-        lib.mt_extract_sparse.argtypes = [
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_float,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-        ]
+        # The sparse-path symbols are configured separately so a stale .so
+        # missing them degrades ONLY the sparse fast paths (hasattr guards
+        # in their wrappers), not dense native marching.
+        try:
+            lib.mt_fill_blocks.restype = None
+            lib.mt_fill_blocks.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.mt_extract_sparse.restype = ctypes.c_int64
+            lib.mt_extract_sparse.argtypes = [
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ]
+        except AttributeError:
+            pass
         return lib
     except Exception:
         _build_failed = True
