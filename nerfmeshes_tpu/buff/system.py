@@ -332,6 +332,40 @@ class BuFFSystem(NeRFSystem):
             params, self.tree_state, o, d, near, far
         )
 
+    def query_rgb(self, origins, directions, near, far, chunk: int = 65536):
+        """Batched rgb-only query through the tree renderer (one program,
+        tree state passed per call so consolidation never goes stale)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nerfmeshes_tpu.train.step import chunk_rays_for_batched
+
+        if getattr(self, "_render_rgb_buff", None) is None:
+            settings = RenderSettings.from_cfg(self.cfg, train=False)
+            use_random = bool(self.cfg.tree.use_random_sampling)
+
+            @jax.jit
+            def render_rgb(params, tree_state, origins, directions, near, far):
+                def body(od):
+                    o, d = od
+                    bundle, _, _ = buff_render_rays(
+                        self.coarse, params["coarse"], tree_state, o, d,
+                        near, far, settings, train=False,
+                        use_random_sampling=use_random,
+                    )
+                    return bundle.rgb_map
+
+                out = jax.lax.map(body, (origins, directions))
+                return out.reshape(-1, out.shape[-1])
+
+            self._render_rgb_buff = render_rgb
+        o, d, n = chunk_rays_for_batched(origins, directions, chunk)
+        out = self._render_rgb_buff(
+            self.state.params, self.tree_state, jnp.asarray(o), jnp.asarray(d),
+            float(near), float(far),
+        )
+        return np.asarray(out)[:n]
+
     def on_step(self, step: int) -> None:
         spc = int(self.cfg.experiment.steps_per_call)
         # Fire when a consolidation boundary fell inside this jitted call.

@@ -170,7 +170,8 @@ class SparseDensityGrid:
 
 
 def _sparse_density_extract(
-    density_fn, limit: float, res: int, iso_level: float, *, tile: int = 262144
+    density_fn, limit: float, res: int, iso_level: float, *, tile: int = 262144,
+    density_params=None,
 ) -> Tuple[SparseDensityGrid, float]:
     """Density grid via sparse block transfer -> (SparseDensityGrid, iso).
 
@@ -196,8 +197,17 @@ def _sparse_density_extract(
     n_tiles = -(-n // tile)
     scale = 2.0 * limit / max(res - 1, 1)
 
+    # With density_params, density_fn is fn(params, pts) and the params
+    # ride as a jit ARGUMENT — the compiled program is reused across
+    # checkpoints (a pts-only closure bakes the weights in as constants,
+    # recompiling per checkpoint).
+    if density_params is None:
+        density_call = lambda _p, pts: density_fn(pts)  # noqa: E731
+    else:
+        density_call = density_fn
+
     @jax.jit
-    def stage1():
+    def stage1(params):
         def tile_fn(i):
             idx = i * tile + jnp.arange(tile)
             x = idx // (res * res)
@@ -210,7 +220,7 @@ def _sparse_density_extract(
                 ],
                 axis=-1,
             )
-            return density_fn(pts)
+            return density_call(params, pts)
 
         flat = lax.map(tile_fn, jnp.arange(n_tiles)).reshape(-1)[:n]
         sigma = flat.reshape(res, res, res).astype(jnp.float16)
@@ -253,7 +263,7 @@ def _sparse_density_extract(
         return sigma, stats, blocks3
 
     t0 = time.time()
-    sigma_dev, stats_dev, blocks3_dev = stage1()
+    sigma_dev, stats_dev, blocks3_dev = stage1(density_params)
     jax.block_until_ready(sigma_dev)
     LAST_TIMINGS["grid_eval_device_s"] = time.time() - t0
 
@@ -299,7 +309,7 @@ def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
 
 
 def extract_geometry(
-    sample_points_fn, args: MeshArgs, *, density_fn=None
+    sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(vertices in world coords, triangles, normals, density grid)
     (reference: src/mesh_nerf.py:68-92).
@@ -314,9 +324,13 @@ def extract_geometry(
 
     if density_fn is not None and args.res % 8 == 0 and args.res >= 32:
         density, iso_value = _sparse_density_extract(
-            density_fn, args.limit, args.res, args.iso_level
+            density_fn, args.limit, args.res, args.iso_level,
+            density_params=density_params,
         )
     else:
+        if density_fn is not None and density_params is not None:
+            fn, p = density_fn, density_params
+            density_fn = lambda pts: fn(p, pts)  # noqa: E731
         density = extract_density(
             sample_points_fn, args.limit, args.res, density_fn=density_fn
         )
@@ -330,7 +344,7 @@ def extract_geometry(
 
 
 def extract_geometry_with_super_sampling(
-    sample_points_fn, args: MeshArgs, *, density_fn=None
+    sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Axis-wise super-sampled extraction.
 
@@ -342,6 +356,9 @@ def extract_geometry_with_super_sampling(
     """
     s = args.super_sampling
     assert s >= 1
+    if density_fn is not None and density_params is not None:
+        fn, p = density_fn, density_params
+        density_fn = lambda pts: fn(p, pts)  # noqa: E731
     base = args.res
     dense = base + (base - 1) * s
     acc = np.zeros((base, base, base), np.float32)
@@ -394,9 +411,17 @@ def export_marching_cubes(
         data = np.load(cache_path)
         vertices, triangles, normals = data["vertices"], data["triangles"], data["normals"]
     else:
+        # Prefer the params-as-argument form so the compiled grid-eval
+        # program is shared across checkpoints.
+        if hasattr(system, "density_apply") and hasattr(system, "finest_params"):
+            dkw = dict(
+                density_fn=system.density_apply,
+                density_params=system.finest_params,
+            )
+        else:
+            dkw = dict(density_fn=getattr(system, "density_points", None))
         vertices, triangles, normals, density = geometry_fn(
-            system.sample_points, args,
-            density_fn=getattr(system, "density_points", None),
+            system.sample_points, args, **dkw
         )
         if args.use_cached_mesh or args.override_cache_mesh:
             np.savez(cache_path, vertices=vertices, triangles=triangles, normals=normals)
@@ -410,11 +435,22 @@ def export_marching_cubes(
         # args.batch_size mirrors the reference's GPU-memory knob
         # (--batch-size 1024); as a TPU dispatch size that would be
         # hopelessly call-bound, so treat it as a lower bound.
-        out = system.query_rays(
-            origins, directions, 0.0, args.view_disparity_max_bound,
-            chunk=max(args.batch_size, 65536), fields=("rgb_map",),
-        )
-        diffuse = np.asarray(out.rgb_map)
+        chunk = max(args.batch_size, 65536)
+        query_rgb = getattr(system, "query_rgb", None)
+        if query_rgb is not None:
+            # One batched program: single upload/dispatch/fetch.
+            diffuse = np.asarray(
+                query_rgb(
+                    origins, directions, 0.0, args.view_disparity_max_bound,
+                    chunk=chunk,
+                )
+            )
+        else:
+            out = system.query_rays(
+                origins, directions, 0.0, args.view_disparity_max_bound,
+                chunk=chunk, fields=("rgb_map",),
+            )
+            diffuse = np.asarray(out.rgb_map)
 
     mesh_path = Path(args.save_dir) / args.mesh_name
     export_obj(vertices, triangles, diffuse, normals, str(mesh_path))

@@ -276,6 +276,56 @@ def make_render_chunk(cfg, coarse_model, fine_model, *, train: bool = False):
     return render_chunk
 
 
+def make_render_rgb(cfg, coarse_model, fine_model):
+    """Batched rgb-only renderer: ONE jitted program lax.maps over
+    pre-chunked rays and returns just the finest rgb map.
+
+    For bulk host-driven queries (the mesh appearance pass renders ~1M
+    rays), the per-chunk dispatch pattern of render_image pays an upload +
+    dispatch round-trip per chunk through the TPU tunnel; here the host
+    uploads once, the device loops, and one fetch returns (R, 3)."""
+    settings = RenderSettings.from_cfg(cfg, train=False)
+
+    @jax.jit
+    def render_rgb(params, origins, directions, near, far):
+        # origins/directions: (C, chunk, 3)
+        def body(od):
+            o, d = od
+            coarse_b, fine_b = render_rays(
+                coarse_model, fine_model, params, o, d, near, far,
+                settings, train=False,
+            )
+            b = fine_b if fine_b is not None else coarse_b
+            return b.rgb_map
+
+        out = jax.lax.map(body, (origins, directions))
+        return out.reshape(-1, out.shape[-1])
+
+    return render_rgb
+
+
+def chunk_rays_for_batched(origins, directions, chunk: int):
+    """Host-side prep for make_render_rgb: pad to a chunk multiple and
+    reshape to (C, chunk, 3). Returns (o, d, n_real)."""
+    import numpy as np
+
+    R = directions.shape[0]
+    origins = np.broadcast_to(np.reshape(np.asarray(origins), (-1, 3)), (R, 3))
+    directions = np.asarray(directions)
+    pad = (-R) % chunk
+    if pad:
+        origins = np.concatenate([origins, np.repeat(origins[-1:], pad, 0)], 0)
+        directions = np.concatenate(
+            [directions, np.repeat(directions[-1:], pad, 0)], 0
+        )
+    C = origins.shape[0] // chunk
+    return (
+        origins.reshape(C, chunk, 3).astype(np.float32),
+        directions.reshape(C, chunk, 3).astype(np.float32),
+        R,
+    )
+
+
 def render_image(
     render_chunk,
     params,

@@ -134,6 +134,22 @@ class NeRFSystem:
         )
         return fine if fine is not None else coarse
 
+    def query_rgb(self, origins, directions, near, far, chunk: int = 65536):
+        """Bulk rgb-only ray query through ONE batched jitted program (see
+        make_render_rgb) — the fast path for the mesh appearance pass:
+        one upload, one dispatch, one fetch instead of a dispatch per
+        chunk."""
+        from nerfmeshes_tpu.train.step import chunk_rays_for_batched, make_render_rgb
+
+        if getattr(self, "_render_rgb", None) is None:
+            self._render_rgb = make_render_rgb(self.cfg, self.coarse, self.fine)
+        o, d, n = chunk_rays_for_batched(origins, directions, chunk)
+        out = self._render_rgb(
+            self.state.params, jnp.asarray(o), jnp.asarray(d),
+            float(near), float(far),
+        )
+        return np.asarray(out)[:n]
+
     def sample_points(self, points, directions=None):
         """Point-query of the finest field (mesh extraction path; analog of
         BaseModel.sample_points, src/models/model_base.py:65-73)."""
@@ -158,19 +174,26 @@ class NeRFSystem:
             out = out[0]
         return out
 
-    def density_points(self, points):
-        """Density-only point query of the finest field -> (...,) raw sigma.
+    @property
+    def finest_params(self):
+        """Variables of the finest model (pairs with density_apply)."""
+        return (
+            self.state.params["fine"]
+            if self.fine is not None
+            else self.state.params["coarse"]
+        )
+
+    def density_apply(self, params, points):
+        """Density-only query of the finest field -> (...,) raw sigma,
+        with params as an explicit argument so grid-eval programs compile
+        once per SHAPE, not once per checkpoint (a closure would bake the
+        weights in as XLA constants).
 
         The geometry half of mesh extraction (res^3 grid evals,
         src/mesh_nerf.py:27-53 keeps only channel 3) never needs the
         color heads: eligible models run the sigma-only fused kernel,
         which also skips the channel-minor output relayout."""
         model = self.fine if self.fine is not None else self.coarse
-        params = (
-            self.state.params["fine"]
-            if self.fine is not None
-            else self.state.params["coarse"]
-        )
         if bool(self.cfg.experiment.get("use_fused_kernel", True)):
             from nerfmeshes_tpu.ops.pallas.fused_mlp import (
                 fused_sigma_points,
@@ -183,6 +206,10 @@ class NeRFSystem:
         if isinstance(out, tuple):
             out = out[0]
         return out[..., 3]
+
+    def density_points(self, points):
+        """density_apply bound to the current finest params."""
+        return self.density_apply(self.finest_params, points)
 
     # -- validation -----------------------------------------------------------------
     def validate(self, max_images: Optional[int] = None, log_images: bool = True) -> dict:
@@ -276,7 +303,8 @@ class NeRFSystem:
         verts, faces, _, _ = extract_geometry(
             self.sample_points,
             MeshArgs(res=64, limit=1.2, iso_level=32),
-            density_fn=self.density_points,
+            density_fn=self.density_apply,
+            density_params=self.finest_params,
         )
         if len(faces) == 0:
             return None

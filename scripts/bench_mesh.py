@@ -50,12 +50,11 @@ def main() -> None:
 
     # Warm the jitted grid-eval tile (compile excluded from the timing).
     warm = MeshArgs(res=64, limit=2.0, iso_level=32.0)
-    extract_geometry(system.sample_points, warm, density_fn=system.density_points)
+    dkw = dict(density_fn=system.density_apply, density_params=system.finest_params)
+    extract_geometry(system.sample_points, warm, **dkw)
 
     t0 = time.time()
-    verts, tris, normals, density = extract_geometry(
-        system.sample_points, args, density_fn=system.density_points
-    )
+    verts, tris, normals, density = extract_geometry(system.sample_points, args, **dkw)
     t_geom = time.time() - t0
     from nerfmeshes_tpu.mesh import extract as _ex
 
@@ -70,14 +69,14 @@ def main() -> None:
     )
     print(f"  all timings: { {k: round(v, 2) if isinstance(v, float) else v for k, v in tim.items()} }")
 
-    # Inverse-normal appearance pass (reference: src/mesh_nerf.py:164-193).
-    t0 = time.time()
+    # Inverse-normal appearance pass (reference: src/mesh_nerf.py:164-193),
+    # through the single-dispatch batched renderer (compile excluded).
     origins = verts - args.view_disparity * (-normals)
-    out = system.query_rays(
-        origins, -normals, 0.0, args.view_disparity_max_bound, chunk=65536,
-        fields=("rgb_map",),
+    system.query_rgb(origins[:65536], -normals[:65536], 0.0, args.view_disparity_max_bound)
+    t0 = time.time()
+    colors = system.query_rgb(
+        origins, -normals, 0.0, args.view_disparity_max_bound, chunk=65536
     )
-    colors = np.asarray(out.rgb_map)
     t_app = time.time() - t0
     print(f"appearance: {t_app:.1f}s ({len(verts)/max(t_app,1e-9)/1e6:.2f}M verts/s)")
     print(f"TOTAL {res}^3 extraction: {t_geom + t_app:.1f}s")
