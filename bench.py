@@ -33,6 +33,36 @@ def _load_baseline() -> float | None:
         return BASELINE_TRAIN_RAYS_PER_SEC
 
 
+def _watchdog() -> None:
+    """Run the real benchmark in a child with a timeout + one retry.
+
+    The TPU tunnel's compile service occasionally wedges after a failed
+    compile (a subsequent compile hangs on a futex forever; the same
+    kernel compiles in seconds on a fresh process — see CLAUDE.md). The
+    driver's benchmark record must survive that, so the parent re-execs
+    itself and retries once if the child hangs or dies."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, NERFMESHES_BENCH_CHILD="1")
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                timeout=900,
+            )
+            out = proc.stdout.decode()
+            if proc.returncode == 0 and '"metric"' in out:
+                sys.stdout.write(out)
+                return
+            print(f"bench child rc={proc.returncode}; retrying", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench child timed out (attempt {attempt + 1})", file=sys.stderr)
+    sys.exit(1)
+
+
 def main() -> None:
     import jax
 
@@ -226,4 +256,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("NERFMESHES_BENCH_CHILD"):
+        main()
+    else:
+        _watchdog()
