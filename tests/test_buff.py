@@ -249,3 +249,37 @@ def test_buff_training_smoke(tmp_path):
     np.testing.assert_allclose(
         np.asarray(fresh.tree_state.memm), np.asarray(system.tree_state.memm)
     )
+
+
+def test_buff_query_rgb(tmp_path):
+    """BuFF's batched rgb query renders through the tree and matches the
+    per-chunk query_rays path."""
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.config.paths import ExperimentPaths
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.experiment.model = "BuFFModel"
+    cfg.experiment.train_iters = 10
+    cfg.experiment.steps_per_call = 5
+    cfg.tree.subdivision_outer_count = 4
+    cfg.tree.max_voxel_count = 256
+
+    system = BuFFSystem(cfg, ExperimentPaths(tmp_path / "b").create())
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=2, image_size=12),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=12),
+    )
+    system.fit()
+
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((30, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.zeros((30, 3), np.float32)
+    ref = np.asarray(
+        system.query_rays(o, d, 2.0, 6.0, chunk=16, fields=("rgb_map",)).rgb_map
+    )
+    got = system.query_rgb(o, d, 2.0, 6.0, chunk=16)
+    assert got.shape == (30, 3)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

@@ -108,3 +108,41 @@ def test_sample_all_images_mode(tiny_cfg):
             first = float(m["train/loss"])
     assert np.isfinite(float(m["train/loss"]))
     assert float(m["train/loss"]) < max(first, 0.2)
+
+
+def test_query_rgb_matches_query_rays(trained):
+    """The single-dispatch batched rgb renderer must agree with the
+    per-chunk render_image path (same settings, same params)."""
+    system, _, _, _ = trained
+    rng = np.random.default_rng(3)
+    d = rng.standard_normal((50, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.zeros((50, 3), np.float32)
+
+    ref = np.asarray(
+        system.query_rays(o, d, 2.0, 6.0, chunk=16, fields=("rgb_map",)).rgb_map
+    )
+    got = system.query_rgb(o, d, 2.0, 6.0, chunk=16)
+    assert got.shape == (50, 3)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_bfloat16_compute_dtype_trains(tiny_cfg, tmp_path):
+    """--precision 16 path: bf16 compute trains to a finite decreasing
+    loss (params/accum stay f32)."""
+    import copy
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.defrost() if hasattr(cfg, "defrost") else None
+    cfg.experiment.compute_dtype = "bfloat16"
+    cfg.experiment.train_iters = 40
+    paths = ExperimentPaths(tmp_path).create()
+    system = NeRFSystem(cfg, paths)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=3, image_size=16),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=16),
+    )
+    first = system.validate(log_images=False)["validation/loss"]
+    system.fit()
+    last = system.validate(log_images=False)["validation/loss"]
+    assert np.isfinite(last) and last < first
