@@ -69,17 +69,25 @@ def main(argv=None) -> None:
     H, W = int(H), int(W)
     mses = []
     for idx in range(len(dataset)):
-        bundle = dataset.image_bundle(idx).to_ray_batch()
-        near, far = np.asarray(bundle.ray_bounds).reshape(-1)[:2]
+        # Rays stay on device (dataset.image_rays); only targets/bounds
+        # are host-side.
+        origins, directions = dataset.image_rays(idx)
+        near, far = np.asarray(dataset._bounds_for(idx)).reshape(-1)[:2]
+        targets = (
+            None
+            if dataset.synthetic_poses is not None
+            else np.asarray(dataset.bundle.ray_targets[idx])
+        )
         out = system.query_rays(
-            bundle.ray_origins, bundle.ray_directions, float(near), float(far),
-            fields=("rgb_map", "disp_map"),
+            origins, directions, float(near), float(far),
+            fields=("rgb_map", "disp_map") if args.save_disparity
+            else ("rgb_map",),
         )
         rgb = np.asarray(out.rgb_map).reshape(H, W, 3)
 
         line = f"[{idx:03d}]"
-        if bundle.ray_targets is not None:
-            target = np.asarray(bundle.ray_targets).reshape(H, W, 3)
+        if targets is not None:
+            target = np.asarray(targets).reshape(H, W, 3)
             mse = float(np.mean((rgb - target) ** 2))
             mses.append(mse)
             line += f" mse={mse:.5f} psnr={float(mse2psnr(jnp.asarray(mse))):.2f}"
@@ -92,7 +100,7 @@ def main(argv=None) -> None:
                 save_dir / f"{idx:04d}_rgb.png",
                 (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
             )
-            if bundle.ray_targets is not None:
+            if targets is not None:
                 imageio.imwrite(
                     save_dir / f"{idx:04d}_target.png",
                     (np.clip(target, 0, 1) * 255).astype(np.uint8),

@@ -276,6 +276,36 @@ def make_render_chunk(cfg, coarse_model, fine_model, *, train: bool = False):
     return render_chunk
 
 
+def make_pose_rays(H: int, W: int, focal: float, *, use_ndc: bool = False,
+                   intrinsics=None):
+    """Jitted full-image ray generation from a camera pose.
+
+    Validation/eval render whole images; building the (H*W, 3) ray arrays
+    on the host and uploading them costs ~15MB per 800^2 image through a
+    TPU tunnel. This generates them on device from the 4x4 pose (a 64-byte
+    upload), matching convert_poses_to_rays / the train step's ray math
+    (reference: src/nerf/nerf_helpers.py:226-277 + ndc_rays)."""
+    from nerfmeshes_tpu.ops.rays import CameraIntrinsics, pixel_directions
+
+    if intrinsics is None:
+        intrinsics = CameraIntrinsics.from_hwf(H, W, focal)
+
+    @jax.jit
+    def pose_rays(pose):
+        pix = jnp.arange(H * W)
+        x = (pix % W).astype(jnp.float32)
+        y = (pix // W).astype(jnp.float32)
+        dirs_cam = pixel_directions(x, y, intrinsics)
+        pose = jnp.asarray(pose, jnp.float32)
+        directions = jnp.einsum("ij,rj->ri", pose[:3, :3], dirs_cam)
+        origins = jnp.broadcast_to(pose[:3, 3], directions.shape)
+        if use_ndc:
+            origins, directions = ndc_rays(H, W, focal, 1.0, origins, directions)
+        return origins, directions
+
+    return pose_rays
+
+
 def make_render_rgb(cfg, coarse_model, fine_model):
     """Batched rgb-only renderer: ONE jitted program lax.maps over
     pre-chunked rays and returns just the finest rgb map.
@@ -351,18 +381,14 @@ def render_image(
     import numpy as np
 
     R = directions.shape[0]
-    origins = np.broadcast_to(np.reshape(np.asarray(origins), (-1, 3)), (R, 3))
-    directions = np.asarray(directions)
-
-    def fetch(bundle, n):
-        return type(bundle)(
-            *(
-                np.asarray(v)[:n]
-                if (fields is None or name in fields)
-                else None
-                for name, v in zip(bundle._fields, bundle)
-            )
-        )
+    # Device-resident rays (e.g. from make_pose_rays) are sliced on
+    # device — chunking must not round-trip them through the host.
+    on_device = isinstance(directions, jax.Array) and not isinstance(
+        directions, np.ndarray
+    )
+    xp = jnp if on_device else np
+    origins = xp.broadcast_to(xp.reshape(xp.asarray(origins), (-1, 3)), (R, 3))
+    directions = xp.asarray(directions)
 
     # Dispatch every chunk before fetching any: JAX dispatch is async, so
     # the device pipeline stays full and the per-chunk host round-trip
@@ -374,21 +400,26 @@ def render_image(
         d = directions[start : start + chunk_size]
         pad = chunk_size - o.shape[0]
         if pad:
-            o = np.concatenate([o, np.repeat(o[-1:], pad, 0)], 0)
-            d = np.concatenate([d, np.repeat(d[-1:], pad, 0)], 0)
-        pending.append(
-            (render_chunk(params, jnp.asarray(o), jnp.asarray(d), near, far), pad)
-        )
+            o = xp.concatenate([o, xp.repeat(o[-1:], pad, 0)], 0)
+            d = xp.concatenate([d, xp.repeat(d[-1:], pad, 0)], 0)
+        pending.append(render_chunk(params, jnp.asarray(o), jnp.asarray(d), near, far))
 
-    outs_c, outs_f = [], []
-    for (coarse, fine), pad in pending:
-        outs_c.append(fetch(coarse, chunk_size - pad))
-        if fine is not None:
-            outs_f.append(fetch(fine, chunk_size - pad))
-
-    def cat(outs):
-        if not outs:
+    def gather(bundles):
+        """Concatenate each kept field ON DEVICE, then fetch it once:
+        per-chunk per-field np.asarray would pay the ~100ms tunnel
+        round-trip 40-160x per 800^2 image."""
+        if not bundles or bundles[0] is None:
             return None
-        return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, 0), *outs)
+        out = {}
+        for name in bundles[0]._fields:
+            vals = [getattr(b, name) for b in bundles]
+            if vals[0] is None or (fields is not None and name not in fields):
+                out[name] = None
+                continue
+            out[name] = np.asarray(jnp.concatenate(vals, 0)[:R])
+        return type(bundles[0])(**out)
 
-    return cat(outs_c), cat(outs_f)
+    return (
+        gather([c for c, _ in pending]),
+        gather([f for _, f in pending]),
+    )

@@ -224,23 +224,30 @@ class NeRFSystem:
         H, W, _ = self.val_dataset.hwf
         losses, fine_losses = [], []
         for i, idx in enumerate(indices):
-            bundle = self.val_dataset.image_bundle(int(idx)).to_ray_batch()
-            near, far = np.asarray(bundle.ray_bounds).reshape(-1)[:2]
+            # Rays generated and kept ON DEVICE (dataset.image_rays);
+            # only targets/bounds come from the host.
+            origins, directions = self.val_dataset.image_rays(int(idx))
+            near, far = np.asarray(
+                self.val_dataset._bounds_for(int(idx))
+            ).reshape(-1)[:2]
+            target = np.asarray(self.val_dataset.bundle.ray_targets[int(idx)])
+            target = target.reshape(-1, target.shape[-1])
             coarse, fine = render_image(
                 self._render_chunk,
                 self.state.params,
-                bundle.ray_origins,
-                bundle.ray_directions,
+                origins,
+                directions,
                 float(near),
                 float(far),
                 chunk_size=int(cfg_val.chunksize),
                 # Per-ray maps only: the (R, S) weights are ~16x larger
                 # and unused here — skipping their host transfer is the
                 # difference between seconds and minutes per 800^2 image
-                # through a TPU tunnel.
-                fields=("rgb_map", "depth_map", "disp_map", "acc_map"),
+                # through a TPU tunnel. Without image logging, rgb alone.
+                fields=("rgb_map", "depth_map", "disp_map", "acc_map")
+                if log_images
+                else ("rgb_map",),
             )
-            target = bundle.ray_targets
             coarse_loss = float(np.mean((coarse.rgb_map - target) ** 2))
             losses.append(coarse_loss)
             finest = coarse
