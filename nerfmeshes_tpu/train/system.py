@@ -333,16 +333,26 @@ class NeRFSystem:
         last_metrics = {}
         t0 = time.time()
         rays_done = 0
-        while int(self.state.step) < max_steps:
+        # Host-side step mirror: int(self.state.step) per call would block
+        # the host on every dispatch (+~100ms tunnel round-trip each),
+        # breaking the async pipeline. The device counter stays
+        # authoritative for checkpoints.
+        step = int(self.state.step)
+        while step < max_steps:
             self.state, metrics = self._train_fn(self.state, self._data)
-            step = int(self.state.step)
+            step += steps_per_call
             rays_done += steps_per_call * int(cfg.nerf.train.num_random_rays)
 
             self.on_step(step)
             self._check_early_stopping(metrics, step)
 
             if step % print_every < steps_per_call or step >= max_steps:
-                host = {k: float(v) for k, v in metrics.items() if k != "train/rgb_sum"}
+                host = {
+                    k: float(v)
+                    for k, v in jax.device_get(
+                        {k: v for k, v in metrics.items() if k != "train/rgb_sum"}
+                    ).items()
+                }
                 host["train/rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
                 last_metrics = host
                 if self.logger is not None:
