@@ -434,8 +434,10 @@ def export_marching_cubes(
         origins = targets - args.view_disparity * directions
         # args.batch_size mirrors the reference's GPU-memory knob
         # (--batch-size 1024); as a TPU dispatch size that would be
-        # hopelessly call-bound, so treat it as a lower bound.
-        chunk = max(args.batch_size, 65536)
+        # hopelessly call-bound, so treat it as a lower bound — clamped
+        # to the actual ray count so small meshes don't render 65k of
+        # padding.
+        chunk = max(args.batch_size, min(65536, -(-len(targets) // 256) * 256))
         query_rgb = getattr(system, "query_rgb", None)
         if query_rgb is not None:
             # One batched program: single upload/dispatch/fetch.
@@ -465,8 +467,8 @@ def _query_diffuse_direct(system, targets, directions, batch_size: int) -> np.nd
     import jax.numpy as jnp
 
     fn = jax.jit(system.sample_points)
-    chunk = max(int(batch_size), 65536)
     n = targets.shape[0]
+    chunk = max(int(batch_size), min(65536, -(-n // 256) * 256))
     pending = []
     for start in range(0, n, chunk):
         p = np.asarray(targets[start : start + chunk], np.float32)

@@ -106,3 +106,39 @@ def test_train_cli_override(tmp_path):
     logdir = sorted(glob.glob(str(tmp_path / "logs/tiny/ovr/version_*")))[-1]
     metrics = [json.loads(l) for l in open(Path(logdir) / "events" / "metrics.jsonl")]
     assert max(m["step"] for m in metrics) == 20
+
+
+def test_mesh_cli_buff(tmp_path):
+    """Mesh extraction from a BuFF checkpoint: sigma kernel + sparse
+    marching + tree-rendered appearance all engage through the CLI."""
+    import glob
+
+    import yaml
+
+    cfg_path = tmp_path / "tiny_buff.yml"
+    base = yaml.safe_load(open("/root/repo/configs/tiny.yml"))
+    base["experiment"]["logdir"] = str(tmp_path / "logs")
+    base["experiment"]["model"] = "BuFFModel"
+    yaml.safe_dump(base, open(cfg_path, "w"))
+    train_nerf.main(
+        ["--config", str(cfg_path), "--run-name", "buffmesh",
+         "--override", "experiment.train_iters", "20",
+         "experiment.steps_per_call", "5",
+         "nerf.train.num_random_rays", "64",
+         "tree.subdivision_outer_count", "4",
+         "tree.max_voxel_count", "128"]
+    )
+    logdir = glob.glob(str(tmp_path / "logs" / "*" / "buffmesh" / "version_0"))[0]
+    save = tmp_path / "mesh_out"
+    mesh_nerf.main(
+        ["--log-checkpoint", logdir, "--save-dir", str(save),
+         "--res", "32", "--limit", "1.2", "--iso-level", "5",
+         "--batch-size", "8192"]
+    )
+    obj = save / "mesh.obj"
+    assert obj.exists()
+    from nerfmeshes_tpu.mesh import import_obj
+
+    verts, faces, colors, _ = import_obj(str(obj))
+    assert len(verts) > 50 and len(faces) > 50
+    assert colors is not None and np.isfinite(colors).all()
