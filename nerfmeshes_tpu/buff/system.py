@@ -53,6 +53,7 @@ def buff_render_rays(
     train: bool,
     use_random_sampling: bool,
     key: Optional[jax.Array] = None,
+    max_chords: int = 0,
 ):
     """Tree-sampled render of a ray batch (reference: BuFFModel.forward,
     src/models/model_buff.py:34-69). Returns (bundle, voxel_idx, ray_mask)."""
@@ -81,6 +82,7 @@ def buff_render_rays(
         samples_count=settings.num_coarse,
         use_random_sampling=use_random_sampling,
         key=k_vox,
+        max_chords=max_chords,
     )
     intervals = jnp.where(ray_mask[:, None], z_tree, stratified)
 
@@ -127,6 +129,7 @@ def make_buff_train_step(
     use_ndc = bool(cfg.dataset.use_ndc)
     sample_all = bool(cfg.nerf.train.get("sample_all_images", False))
     use_random = bool(cfg.tree.use_random_sampling)
+    max_chords = int(cfg.tree.get("max_chords_per_ray", 0))
     offset = int(cfg.tree.step_size_integration_offset)
     if steps_per_call is None:
         steps_per_call = int(cfg.experiment.steps_per_call)
@@ -138,7 +141,7 @@ def make_buff_train_step(
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     if num_rays % max(n_shards, 1) != 0:
         raise ValueError(
-            f"num_random_rays {num_rays} must divide the mesh size {n_shards}"
+            f"num_random_rays {num_rays} must be divisible by the mesh size {n_shards}"
         )
     local_rays = num_rays // max(n_shards, 1)
     axis_name = DATA_AXIS if n_shards > 1 else None
@@ -156,6 +159,7 @@ def make_buff_train_step(
             train=True,
             use_random_sampling=use_random,
             key=key,
+            max_chords=max_chords,
         )
         loss = img2mse(bundle.rgb_map, targets)
         aux = {
@@ -311,6 +315,7 @@ class BuFFSystem(NeRFSystem):
         # after consolidation).
         settings = RenderSettings.from_cfg(self.cfg, train=False)
         use_random = bool(self.cfg.tree.use_random_sampling)
+        max_chords = int(self.cfg.tree.get("max_chords_per_ray", 0))
 
         @jax.jit
         def render_chunk_with_tree(params, tree_state, origins, directions, near, far):
@@ -325,6 +330,7 @@ class BuFFSystem(NeRFSystem):
                 settings,
                 train=False,
                 use_random_sampling=use_random,
+                max_chords=max_chords,
             )
             return bundle, None
 
@@ -343,6 +349,7 @@ class BuFFSystem(NeRFSystem):
         if getattr(self, "_render_rgb_buff", None) is None:
             settings = RenderSettings.from_cfg(self.cfg, train=False)
             use_random = bool(self.cfg.tree.use_random_sampling)
+            max_chords = int(self.cfg.tree.get("max_chords_per_ray", 0))
 
             @jax.jit
             def render_rgb(params, tree_state, origins, directions, near, far):
@@ -352,6 +359,7 @@ class BuFFSystem(NeRFSystem):
                         self.coarse, params["coarse"], tree_state, o, d,
                         near, far, settings, train=False,
                         use_random_sampling=use_random,
+                        max_chords=max_chords,
                     )
                     return bundle.rgb_map
 

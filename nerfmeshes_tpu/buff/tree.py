@@ -84,17 +84,6 @@ class TreeSampling:
         self.leaves: List[Leaf] = _subdivide(Leaf(lo, hi, 0), self.outer_count)
         self._last_memm: Optional[np.ndarray] = None
 
-    # -- schedule -------------------------------------------------------------
-    def ticked(self, step: int) -> bool:
-        """Consolidation cadence (reference: tree.py:94-102)."""
-        if step > self.integration_offset:
-            cur = step - self.integration_offset
-            return cur > 0 and cur % self.step_size_tree == 0
-        return False
-
-    def integration_active(self, step: int) -> bool:
-        return step >= self.integration_offset
-
     # -- padded device state --------------------------------------------------
     def device_state(self) -> TreeState:
         V = len(self.leaves)
@@ -202,7 +191,10 @@ def _subdivide(leaf: Leaf, count: int) -> List[Leaf]:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("samples_count", "use_random_sampling"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("samples_count", "use_random_sampling", "max_chords"),
+)
 def ray_voxel_intersect(
     voxels: jnp.ndarray,
     active: jnp.ndarray,
@@ -214,6 +206,7 @@ def ray_voxel_intersect(
     samples_count: int,
     use_random_sampling: bool = False,
     key: Optional[jax.Array] = None,
+    max_chords: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batch ray/AABB intersection + per-ray depth sampling.
 
@@ -221,6 +214,13 @@ def ray_voxel_intersect(
     Returns (z_vals (R,S), voxel_indices (R,S), ray_mask (R,)) with samples
     sorted by depth — semantics of the reference's
     batch_ray_voxel_intersect (src/nerf/tree.py:215-343).
+
+    The deterministic sampler compacts each ray's chords into
+    K = max_chords (default max(128, samples_count)) slots; a ray
+    crossing more than K active voxels has chords beyond rank K dropped
+    (first-V-index order). K=128 covers ~3*outer_count crossings per
+    depth level with margin for the shipped configs; raise
+    cfg.tree.max_chords_per_ray for very deep trees (cost is linear in K).
     """
     R = dirs.shape[0]
     origins = jnp.broadcast_to(jnp.reshape(origins, (-1, 3)), (R, 3))
@@ -245,6 +245,14 @@ def ray_voxel_intersect(
     tmax = jnp.minimum(tmax, tvmax[..., 2])
 
     # Whole chord must lie within [near, far] (reference: tree.py:264-268).
+    # near/far may be scalars or per-ray (R,) (COLMAP per-image bounds):
+    # add the voxel axis so they broadcast against (R, V).
+    near = jnp.asarray(near)
+    far = jnp.asarray(far)
+    if near.ndim > 0:
+        near = near[:, None]
+    if far.ndim > 0:
+        far = far[:, None]
     mask = mask & (tmin >= near) & (tmax <= far) & active[None, :]
     ray_mask = jnp.sum(mask, axis=-1) > 0
 
@@ -278,7 +286,7 @@ def ray_voxel_intersect(
         # K-sized comparison contractions. The output is constructed in
         # depth order, so the reference's final sort disappears.
         V = mask.shape[-1]
-        K = min(V, max(128, samples_count))
+        K = min(V, max_chords if max_chords > 0 else max(128, samples_count))
 
         valid = mask.astype(jnp.int32)
         rank = jnp.cumsum(valid, axis=-1) - 1  # slot in first-V-index order
@@ -314,7 +322,7 @@ def ray_voxel_intersect(
 
         bucket = _searchsorted_left(cums, samples)  # (R,S) in [0, K]
         bucket = jnp.minimum(bucket, K - 1)
-        first_in_bucket = _searchsorted_left_int(bucket, bucket)
+        first_in_bucket = _searchsorted_left(bucket, bucket)
         offset = samples - _onehot_gather(samples, first_in_bucket)
         z_vals = _onehot_gather(lo_k, bucket) + offset
         voxel_idx = _onehot_gather(ids_k, bucket).astype(jnp.int32)
@@ -328,12 +336,6 @@ def _searchsorted_left(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndar
     """Batched searchsorted(side='left') via comparison contraction."""
     return jnp.sum(
         (sorted_seq[..., None, :] < values[..., :, None]).astype(jnp.int32), axis=-1
-    )
-
-
-def _searchsorted_left_int(seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sum(
-        (seq[..., None, :] < values[..., :, None]).astype(jnp.int32), axis=-1
     )
 
 

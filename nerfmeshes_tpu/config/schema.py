@@ -51,6 +51,9 @@ def get_default_cfg() -> CfgNode:
                 "max_voxel_count": 1536,
                 "step_size_integration_offset": 6000,
                 "step_size_tree": 6000,
+                # 0 = auto (max(128, samples)): chord-slot cap of the
+                # deterministic sampler; raise for very deep trees.
+                "max_chords_per_ray": 0,
             },
             "dataset": {
                 "type": "blender",

@@ -33,10 +33,14 @@ def ray_sample_interval(
     (reference: src/nerf/modules.py:148-186)
     """
     t = jnp.linspace(0.0, 1.0, num_samples, dtype=dtype)[None, :]  # (1, S)
+    # near/far handled independently: each may be a scalar or per-ray
+    # (ray_count,) (COLMAP per-image bounds) in any combination.
     near = jnp.asarray(near, dtype=dtype)
     far = jnp.asarray(far, dtype=dtype)
-    if near.ndim > 0 and near.shape[0] == ray_count:
-        near, far = near[:, None], far[:, None]
+    if near.ndim > 0:
+        near = near[:, None]
+    if far.ndim > 0:
+        far = far[:, None]
 
     if not lindisp:
         intervals = near * (1.0 - t) + far * t

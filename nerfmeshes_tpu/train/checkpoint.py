@@ -63,13 +63,19 @@ class CheckpointManager:
         metrics = {"val_loss": float(val_loss)} if val_loss is not None else {}
         self._mgr.save(step, args=ocp.args.StandardSave(tree), metrics=metrics)
         self._mgr.wait_until_finished()
-        last_dir = self.directory / "last"
-        if last_dir.exists():
-            import shutil
+        # Write-then-rename so a crash mid-save never leaves the run with
+        # NO `last` checkpoint (rmtree-then-save had that window).
+        import shutil
 
-            shutil.rmtree(last_dir)
-        self._last.save(last_dir, tree)
+        last_dir = self.directory / "last"
+        tmp_dir = self.directory / "last.tmp"
+        if tmp_dir.exists():
+            shutil.rmtree(tmp_dir)
+        self._last.save(tmp_dir, tree)
         self._last.wait_until_finished()
+        if last_dir.exists():
+            shutil.rmtree(last_dir)
+        tmp_dir.rename(last_dir)
 
     def restore(
         self,

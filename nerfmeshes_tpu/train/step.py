@@ -171,7 +171,7 @@ def make_train_step(
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     if num_rays % max(n_shards, 1) != 0:
         raise ValueError(
-            f"num_random_rays {num_rays} must divide the mesh size {n_shards}"
+            f"num_random_rays {num_rays} must be divisible by the mesh size {n_shards}"
         )
     local_rays = num_rays // max(n_shards, 1)
 

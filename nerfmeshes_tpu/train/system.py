@@ -219,6 +219,9 @@ class NeRFSystem:
         if num == -1 or num is None:
             indices = range(n_total)
         else:
+            # Sampling WITH replacement mirrors the reference's val loader
+            # (RandomSampler(replacement=True, num_samples=...),
+            # src/models/model_base.py:139-142).
             indices = np.random.default_rng(0).integers(0, n_total, size=max(1, min(num, n_total)))
 
         H, W, _ = self.val_dataset.hwf

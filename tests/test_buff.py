@@ -283,3 +283,32 @@ def test_buff_query_rgb(tmp_path):
     got = system.query_rgb(o, d, 2.0, 6.0, chunk=16)
     assert got.shape == (30, 3)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_intersect_per_ray_bounds(rays):
+    """Per-ray (R,) near/far (COLMAP per-image bounds) must broadcast in
+    the chord cap test."""
+    state = TreeSampling(small_cfg()).device_state()
+    origins, dirs = rays
+    R = dirs.shape[0]
+    args = (state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs))
+    z, _, m = ray_voxel_intersect(
+        *args, jnp.full((R,), 2.0), jnp.full((R,), 6.0), samples_count=16
+    )
+    z_s, _, m_s = ray_voxel_intersect(*args, 2.0, 6.0, samples_count=16)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_s), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_s))
+
+
+def test_intersect_max_chords_knob(rays):
+    """cfg.tree.max_chords_per_ray threads through as the K cap; a large
+    K reproduces the default result exactly."""
+    state = TreeSampling(small_cfg()).device_state()
+    origins, dirs = rays
+    args = (state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs))
+    z_d, _, m_d = ray_voxel_intersect(*args, 2.0, 6.0, samples_count=16)
+    z_k, _, m_k = ray_voxel_intersect(
+        *args, 2.0, 6.0, samples_count=16, max_chords=256
+    )
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_d), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_d))

@@ -333,3 +333,20 @@ def test_fused_pe_lane_consts_layout():
     np.testing.assert_allclose(
         pe[spec.d_off : spec.d_off + ref_d.shape[1]].T, ref_d, atol=1e-5
     )
+
+
+def test_ray_sample_interval_mixed_bounds():
+    """Scalar near with per-ray far (and vice versa) must broadcast."""
+    import jax.numpy as jnp
+
+    from nerfmeshes_tpu.ops.sampling import ray_sample_interval
+
+    R, S = 5, 7
+    per_ray = jnp.linspace(5.0, 9.0, R)
+    a = ray_sample_interval(S, R, 2.0, per_ray, lindisp=False, perturb=False)
+    assert a.shape == (R, S)
+    np.testing.assert_allclose(np.asarray(a[:, -1]), np.asarray(per_ray), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[:, 0]), 2.0, atol=1e-6)
+    b = ray_sample_interval(S, R, per_ray - 4.0, 9.0, lindisp=False, perturb=False)
+    assert b.shape == (R, S)
+    np.testing.assert_allclose(np.asarray(b[:, 0]), np.asarray(per_ray - 4.0), atol=1e-6)
