@@ -45,7 +45,7 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     from nerfmeshes_tpu.config.paths import resolve_paths
     from nerfmeshes_tpu.data.datasets import DatasetType, build_dataset
-    from nerfmeshes_tpu.ops.math import mse2psnr
+    from nerfmeshes_tpu.ops.math import mse2psnr, ssim
     from nerfmeshes_tpu.train.factory import build_system
 
     import jax.numpy as jnp
@@ -68,6 +68,7 @@ def main(argv=None) -> None:
     H, W, _ = dataset.hwf
     H, W = int(H), int(W)
     mses = []
+    ssims = []
     for idx in range(len(dataset)):
         # Rays stay on device (dataset.image_rays); only targets/bounds
         # are host-side.
@@ -90,7 +91,12 @@ def main(argv=None) -> None:
             target = np.asarray(targets).reshape(H, W, 3)
             mse = float(np.mean((rgb - target) ** 2))
             mses.append(mse)
-            line += f" mse={mse:.5f} psnr={float(mse2psnr(jnp.asarray(mse))):.2f}"
+            s_val = float(ssim(jnp.asarray(rgb), jnp.asarray(target)))
+            ssims.append(s_val)
+            line += (
+                f" mse={mse:.5f} psnr={float(mse2psnr(jnp.asarray(mse))):.2f}"
+                f" ssim={s_val:.4f}"
+            )
         print(line, flush=True)
 
         if save_dir and (args.save_images or args.synthesis_images):
@@ -116,7 +122,8 @@ def main(argv=None) -> None:
         mean_mse = float(np.mean(mses))
         print(
             f"dataset: mse={mean_mse:.5f} "
-            f"psnr={float(mse2psnr(jnp.asarray(mean_mse))):.2f}"
+            f"psnr={float(mse2psnr(jnp.asarray(mean_mse))):.2f} "
+            f"ssim={float(np.mean(ssims)):.4f}"
         )
 
 

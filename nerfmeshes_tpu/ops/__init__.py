@@ -1,4 +1,4 @@
-from nerfmeshes_tpu.ops.math import cumprod_exclusive, img2mse, mse2psnr
+from nerfmeshes_tpu.ops.math import cumprod_exclusive, img2mse, mse2psnr, ssim
 from nerfmeshes_tpu.ops.encoding import (
     frequency_bands,
     positional_encoding,
@@ -16,6 +16,7 @@ __all__ = [
     "cumprod_exclusive",
     "img2mse",
     "mse2psnr",
+    "ssim",
     "frequency_bands",
     "positional_encoding",
     "positional_encoding_output_size",

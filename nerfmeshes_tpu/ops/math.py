@@ -62,3 +62,44 @@ def mse2psnr(mse: jnp.ndarray) -> jnp.ndarray:
     """
     mse = jnp.where(mse == 0, 1e-5, mse)
     return -10.0 * jnp.log10(mse)
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    *,
+    max_val: float = 1.0,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Structural similarity (Wang et al. 2004) between (H, W, C) images.
+
+    Gaussian-windowed (11x11, sigma 1.5), standard constants
+    C1=(0.01 L)^2, C2=(0.03 L)^2, mean over pixels and channels — the
+    customary NeRF evaluation metric alongside PSNR (the reference
+    reports only MSE/PSNR; this is an addition)."""
+    from jax import lax
+
+    x = jnp.asarray(img1, jnp.float32)
+    y = jnp.asarray(img2, jnp.float32)
+    half = window_size // 2
+    g = jnp.exp(-0.5 * ((jnp.arange(window_size) - half) / sigma) ** 2)
+    g = g / jnp.sum(g)
+
+    def blur(z):  # (H, W, C) -> (H', W', C), separable 'valid' gaussian
+        z = jnp.moveaxis(z, -1, 0)[:, None]  # (C, 1, H, W)
+        kh = g.reshape(1, 1, -1, 1)
+        kw = g.reshape(1, 1, 1, -1)
+        z = lax.conv_general_dilated(z, kh, (1, 1), "VALID")
+        z = lax.conv_general_dilated(z, kw, (1, 1), "VALID")
+        return jnp.moveaxis(z[:, 0], 0, -1)
+
+    mu_x, mu_y = blur(x), blur(y)
+    sxx = blur(x * x) - mu_x * mu_x
+    syy = blur(y * y) - mu_y * mu_y
+    sxy = blur(x * y) - mu_x * mu_y
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    num = (2 * mu_x * mu_y + c1) * (2 * sxy + c2)
+    den = (mu_x**2 + mu_y**2 + c1) * (sxx + syy + c2)
+    return jnp.mean(num / den)

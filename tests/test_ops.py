@@ -350,3 +350,51 @@ def test_ray_sample_interval_mixed_bounds():
     b = ray_sample_interval(S, R, per_ray - 4.0, 9.0, lindisp=False, perturb=False)
     assert b.shape == (R, S)
     np.testing.assert_allclose(np.asarray(b[:, 0]), np.asarray(per_ray - 4.0), atol=1e-6)
+
+
+def test_ssim_properties_and_reference():
+    """SSIM: identity == 1, degrades with noise, and matches an
+    independent numpy formulation of Wang et al. on random images."""
+    import jax.numpy as jnp
+
+    from nerfmeshes_tpu.ops.math import ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(32, 40, 3)).astype(np.float32)
+    assert float(ssim(jnp.asarray(a), jnp.asarray(a))) == pytest.approx(1.0, abs=1e-5)
+    noisy1 = np.clip(a + 0.05 * rng.standard_normal(a.shape), 0, 1).astype(np.float32)
+    noisy2 = np.clip(a + 0.2 * rng.standard_normal(a.shape), 0, 1).astype(np.float32)
+    s1 = float(ssim(jnp.asarray(a), jnp.asarray(noisy1)))
+    s2 = float(ssim(jnp.asarray(a), jnp.asarray(noisy2)))
+    assert 1.0 > s1 > s2 > 0.0
+
+    # Independent numpy reference: same constants, gaussian window built
+    # from the outer product, explicit per-window loops over valid pixels.
+    def np_ssim(x, y, w=11, sigma=1.5, L=1.0):
+        half = w // 2
+        g1 = np.exp(-0.5 * ((np.arange(w) - half) / sigma) ** 2)
+        g1 /= g1.sum()
+        G = np.outer(g1, g1)
+        H, W, C = x.shape
+        c1, c2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+        vals = []
+        for c in range(C):
+            for i in range(H - w + 1):
+                for j in range(W - w + 1):
+                    px = x[i : i + w, j : j + w, c]
+                    py = y[i : i + w, j : j + w, c]
+                    mx, my = (G * px).sum(), (G * py).sum()
+                    vx = (G * px * px).sum() - mx * mx
+                    vy = (G * py * py).sum() - my * my
+                    vxy = (G * px * py).sum() - mx * my
+                    vals.append(
+                        ((2 * mx * my + c1) * (2 * vxy + c2))
+                        / ((mx * mx + my * my + c1) * (vx + vy + c2))
+                    )
+        return float(np.mean(vals))
+
+    small_a = a[:16, :18]
+    small_b = noisy2[:16, :18]
+    ref = np_ssim(small_a.astype(np.float64), small_b.astype(np.float64))
+    got = float(ssim(jnp.asarray(small_a), jnp.asarray(small_b)))
+    assert got == pytest.approx(ref, abs=1e-4)
