@@ -36,7 +36,11 @@ def load_colmap_data(realdir: str):
     hwf = np.array([cam.height, cam.width, cam.params[0]], np.float64)
 
     imdata = read_images_binary(sparse / "images.bin")
-    image_mapping = {v: i for i, v in enumerate(sorted(imdata.keys()))}
+    # Map image id -> row index in FILE order: poses/zvals rows below are
+    # built by iterating imdata in insertion order, and COLMAP writes
+    # images.bin from an unordered map, so ids are not necessarily sorted
+    # — a sorted-id mapping would attribute visibility to wrong cameras.
+    image_mapping = {k: i for i, k in enumerate(imdata)}
     names = [imdata[k].name for k in imdata]
     perm = np.argsort(names)
 
@@ -85,6 +89,10 @@ def save_poses(basedir: str, poses, pts3d, perm, image_mapping) -> None:
     save_arr = []
     for i in perm:
         zs = zvals[vis[:, i], i]
+        if zs.size == 0:
+            # Image registered but observing no 3D points: fall back to
+            # the scene-wide depth range instead of percentile-of-empty.
+            zs = zvals[:, i]
         close_depth, inf_depth = np.percentile(zs, 0.1), np.percentile(zs, 99.9)
         save_arr.append(
             np.concatenate([poses[i].ravel(), [close_depth, inf_depth]])

@@ -27,16 +27,6 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def cast_to_disparity_image(disp: np.ndarray, white_background: bool = False):
-    """Min-max normalized disparity as uint8 (reference:
-    src/nerf/nerf_helpers.py:172-181)."""
-    img = (disp - disp.min()) / max(float(disp.max() - disp.min()), 1e-10)
-    img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
-    if white_background:
-        img[img == 0] = 255
-    return img
-
-
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
@@ -46,6 +36,7 @@ def main(argv=None) -> None:
     from nerfmeshes_tpu.config.paths import resolve_paths
     from nerfmeshes_tpu.data.datasets import DatasetType, build_dataset
     from nerfmeshes_tpu.ops.math import mse2psnr, ssim
+    from nerfmeshes_tpu.utils.images import cast_to_disparity_image
     from nerfmeshes_tpu.train.factory import build_system
 
     import jax.numpy as jnp

@@ -96,6 +96,16 @@ class CfgNode(dict):
     def clone(self) -> "CfgNode":
         return copy.deepcopy(self)
 
+    def __deepcopy__(self, memo) -> "CfgNode":
+        # Plain deepcopy restores __dict__ (incl. the frozen flag) before
+        # re-inserting items, so cloning a frozen config would crash in
+        # __setitem__; rebuild unfrozen, then restore frozenness last
+        # (yacs supports cloning frozen configs).
+        new = type(self)(copy.deepcopy(self.to_dict(), memo))
+        if self.is_frozen():
+            new.freeze()
+        return new
+
     def to_dict(self) -> Dict:
         return {
             k: (v.to_dict() if isinstance(v, CfgNode) else v) for k, v in self.items()
@@ -205,6 +215,18 @@ def _parse_literal(value: Any) -> Any:
         parsed = yaml.safe_load(value)
     except yaml.YAMLError:
         return value
+    if isinstance(parsed, str):
+        # pyyaml's YAML 1.1 resolver leaves exponent notation without a
+        # decimal point ('1e-3') as a string; the CLI help documents that
+        # exact form for --override, so parse numbers ourselves.
+        try:
+            return int(parsed)
+        except ValueError:
+            pass
+        try:
+            return float(parsed)
+        except ValueError:
+            pass
     return parsed
 
 

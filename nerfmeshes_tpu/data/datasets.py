@@ -63,6 +63,9 @@ class RayDataset:
                 hwf=data["hwf"],
                 ray_bounds=data["ray_bounds"] if "ray_bounds" in data else None,
                 target_depth=data["target_depth"] if "target_depth" in data else None,
+                target_normals=(
+                    data["target_normals"] if "target_normals" in data else None
+                ),
             )
         else:
             bundle = self.load_dataset()
@@ -153,7 +156,14 @@ class RayDataset:
 
     def _bounds_for(self, idx: int) -> np.ndarray:
         b = np.asarray(self.bundle.ray_bounds)
-        return b[idx] if b.ndim == 2 else b
+        if b.ndim != 2:
+            return b
+        if self.synthetic_poses is not None:
+            # Synthesized orbit poses have no per-image COLMAP bounds;
+            # cover the scene's full depth range instead of indexing a
+            # real image's bounds (out of range past the real count).
+            return np.array([b[:, 0].min(), b[:, 1].max()], b.dtype)
+        return b[idx]
 
     def synthesis(self) -> "RayDataset":
         """Swap targets for 120 synthesized orbit poses (novel-view render;

@@ -81,8 +81,11 @@ def load_blender_data(cfg, data_config: str) -> DataBundle:
 
     depth_arr = np.stack(depth).astype(np.float32) if len(depth) == size else None
     if len(normals) == size:
-        n = np.stack(normals).astype(np.float32)[..., :3] / 255.0
-        normals_arr = n / np.linalg.norm(n, axis=-1, keepdims=True)
+        # Reference parity: raw /255 decode only (load_blender.py:55-61).
+        # Unit-normalizing here would NaN on black background pixels and
+        # skip the 2n-1 [-1,1] decode anyway — leave interpretation to
+        # the consumer, as the reference does.
+        normals_arr = np.stack(normals).astype(np.float32)[..., :3] / 255.0
     else:
         normals_arr = None
 

@@ -177,10 +177,16 @@ def read_images_binary(path) -> Dict[int, Image]:
                     break
                 name += c
             (num_pts,) = _read(fh, "<Q")
-            data = np.array(_read(fh, f"<{3 * num_pts}d")).reshape(-1, 3)
+            # Per-point record is (x double, y double, POINT3D_ID int64):
+            # 'ddq', NOT three doubles (reference: load_colmap.py:248-252).
+            raw = fh.read(24 * num_pts)
+            rec = np.frombuffer(raw, dtype=np.dtype("<f8,<f8,<i8"), count=num_pts)
+            xys = np.stack([rec["f0"], rec["f1"]], axis=-1) if num_pts else (
+                np.zeros((0, 2))
+            )
             images[img_id] = Image(
                 img_id, qvec, tvec, cam_id, name.decode("utf-8"),
-                data[:, :2].copy(), data[:, 2].astype(np.int64),
+                xys, rec["f2"].astype(np.int64),
             )
     return images
 
@@ -195,11 +201,12 @@ def write_images_binary(images: Dict[int, Image], path) -> None:
             _write(fh, "<i", im.camera_id)
             fh.write(im.name.encode("utf-8") + b"\x00")
             _write(fh, "<Q", len(im.xys))
-            data = np.concatenate(
-                [im.xys, im.point3D_ids[:, None].astype(float)], 1
-            ).reshape(-1)
-            if len(data):
-                _write(fh, f"<{len(data)}d", *data)
+            rec = np.empty(len(im.xys), dtype=np.dtype("<f8,<f8,<i8"))
+            if len(im.xys):
+                rec["f0"] = im.xys[:, 0]
+                rec["f1"] = im.xys[:, 1]
+                rec["f2"] = np.asarray(im.point3D_ids, np.int64)
+            fh.write(rec.tobytes())
 
 
 def read_images_text(path) -> Dict[int, Image]:

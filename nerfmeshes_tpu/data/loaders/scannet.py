@@ -70,7 +70,7 @@ class SensorData:
 
     VERSION = 4
 
-    def __init__(self, filename: str):
+    def __init__(self, filename: str, header_only: bool = False):
         with open(filename, "rb") as fh:
             (version,) = _unpack(fh, "<I")
             if version != self.VERSION:
@@ -87,9 +87,11 @@ class SensorData:
             (self.depth_width, self.depth_height) = _unpack(fh, "<II")
             (self.depth_shift,) = _unpack(fh, "<f")
             (num_frames,) = _unpack(fh, "<Q")
-            self.frames: List[RGBDFrame] = [
-                RGBDFrame.parse(fh) for _ in range(num_frames)
-            ]
+            self.frames: List[RGBDFrame] = (
+                []
+                if header_only
+                else [RGBDFrame.parse(fh) for _ in range(num_frames)]
+            )
 
     # -- decoded accessors -----------------------------------------------------
     def depth_image(self, idx: int) -> np.ndarray:

@@ -61,6 +61,12 @@ class ScanNetDataset(RayDataset):
         )
 
     def intrinsics(self) -> CameraIntrinsics:
+        # On a dataset-cache hit load_dataset() never runs, so read the
+        # intrinsic matrix from the .sens header on demand (cheap: header
+        # only, no frame decode).
+        if not hasattr(self, "_intrinsic"):
+            sens = SensorData(self.cfg.dataset.basedir, header_only=True)
+            self._intrinsic = np.asarray(sens.intrinsic_color)
         K = self._intrinsic
         return CameraIntrinsics(
             fx=float(K[0, 0]),

@@ -36,9 +36,11 @@ class Timer:
         self.repeats = repeats
 
     def time(self, fn: Callable, *args, **kwargs) -> float:
+        out = None
         for _ in range(self.warmup):
             out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        if out is not None:
+            jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(self.repeats):
             out = fn(*args, **kwargs)

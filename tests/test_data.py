@@ -326,3 +326,43 @@ def test_llff_ndc_end_to_end_training(llff_root):
     assert int(system.state.step) == 30
     m2 = system.validate(log_images=False)
     assert np.isfinite(m2["validation/loss"])
+
+
+def test_colmap_images_binary_ddq_format(tmp_path):
+    """images.bin per-point records are (x f8, y f8, POINT3D_ID i8) —
+    'ddq', not three doubles (official COLMAP format; reference reader
+    load_colmap.py:248-252). Pin the exact bytes so the writer stays
+    COLMAP-compatible and ids (incl. -1 for unmatched) survive."""
+    import struct
+
+    from nerfmeshes_tpu.data.loaders.colmap import (
+        Image as CImage,
+        read_images_binary,
+        write_images_binary,
+    )
+
+    qvec = np.array([1.0, 0.0, 0.0, 0.0])
+    tvec = np.array([0.1, 0.2, 0.3])
+    xys = np.array([[1.5, 2.5], [3.5, 4.5]])
+    ids = np.array([42, -1], np.int64)
+    im = CImage(7, qvec, tvec, 1, "a.png", xys, ids)
+    path = tmp_path / "images.bin"
+    write_images_binary({7: im}, path)
+
+    # Hand-decode with the official layout.
+    with open(path, "rb") as fh:
+        (n,) = struct.unpack("<Q", fh.read(8))
+        assert n == 1
+        fh.read(4 + 32 + 24 + 4)  # id, qvec, tvec, cam_id
+        while fh.read(1) != b"\x00":
+            pass
+        (npts,) = struct.unpack("<Q", fh.read(8))
+        assert npts == 2
+        x0, y0, id0 = struct.unpack("<ddq", fh.read(24))
+        x1, y1, id1 = struct.unpack("<ddq", fh.read(24))
+    assert (x0, y0, id0) == (1.5, 2.5, 42)
+    assert (x1, y1, id1) == (3.5, 4.5, -1)
+
+    back = read_images_binary(path)[7]
+    np.testing.assert_array_equal(back.point3D_ids, ids)
+    np.testing.assert_allclose(back.xys, xys)
