@@ -60,7 +60,7 @@ def buff_render_rays(
     R = directions.shape[0]
     if key is None:
         key = jax.random.key(0)
-    k_perturb, k_vox, k_noise = jax.random.split(key, 3)
+    k_perturb, k_vox, k_noise, k_field = jax.random.split(key, 4)
 
     origins_b = jnp.broadcast_to(jnp.reshape(origins, (-1, 3)), (R, 3))
     stratified = ray_sample_interval(
@@ -89,6 +89,7 @@ def buff_render_rays(
     field = _apply_field(
         model, params, origins_b, directions, intervals,
         use_fused=settings.use_fused_kernel, inference=not train,
+        key=k_field,
     )
     bundle = volume_render(
         field,
@@ -190,7 +191,7 @@ def make_buff_train_step(
             k_render = jax.random.fold_in(k_render, shard)
         origins, directions, targets, near, far = _sample_ray_batch(
             data, k_sample, H=H, W=W, focal=focal, num_rays=local_rays,
-            use_ndc=use_ndc, mesh=None, intrinsics=intrinsics,
+            use_ndc=use_ndc, intrinsics=intrinsics,
             sample_all_images=sample_all,
         )
         grads, aux = jax.grad(loss_fn, has_aux=True)(

@@ -188,11 +188,11 @@ class FastRotPos(nn.Module):
             mult = 2.0 ** (jax.random.uniform(k2, (1, shape[1])) * self.weight_multiplier) - 1.0
             return b * mult
 
-        # Stored as a param for single-collection state, but frozen via
-        # stop_gradient (the reference registers it as a non-trainable buffer).
-        b = jax.lax.stop_gradient(
-            self.param("b", init_b, (in_features, self.out_features))
-        )
+        # Fixed random directions, NOT a parameter: the reference registers
+        # this as a non-trainable buffer. A stop_gradient'ed param would
+        # still be mutated by decoupled weight decay (AdamW updates params
+        # regardless of grad), so derive it from a constant key instead.
+        b = init_b(jax.random.PRNGKey(0), (in_features, self.out_features))
         proj = jnp.dot(x.astype(self.dtype), b.astype(self.dtype), preferred_element_type=jnp.float32)
         return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
@@ -256,7 +256,11 @@ class SirenModule(nn.Module):
             ),
             (self.out_features,),
         )
-        return jnp.sin(jnp.dot(x, kernel) + bias)
+        proj = jnp.dot(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sin(proj + bias)
 
 
 class SirenModuleNormal(nn.Module):
@@ -282,7 +286,11 @@ class SirenModuleNormal(nn.Module):
             ),
             (self.out_features,),
         )
-        return jnp.sin(jnp.dot(x, kernel) + bias)
+        proj = jnp.dot(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sin(proj + bias)
 
 
 class SirenModuleExp(nn.Module):
@@ -311,7 +319,11 @@ class SirenModuleExp(nn.Module):
             ),
             (self.out_features,),
         )
-        return jnp.sin(jnp.dot(x, kernel) + bias)
+        proj = jnp.dot(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sin(proj + bias)
 
 
 class PotCoSirenModule(nn.Module):
@@ -340,7 +352,10 @@ class PotCoSirenModule(nn.Module):
             ),
             (self.out_features // 2,),
         )
-        proj = jnp.dot(x, kernel) + bias
+        proj = jnp.dot(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ) + bias
         return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
@@ -394,7 +409,10 @@ class CoSirenModule(nn.Module):
             ),
             (self.out_features // 2,),
         )
-        proj = jnp.dot(x, kernel) + bias
+        proj = jnp.dot(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ) + bias
         return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1) - (math.pi / 4)
 
 

@@ -299,6 +299,8 @@ def build_model(type_name: str, model_cfg: dict, dtype: Dtype = jnp.float32) -> 
     """Instantiate a model by config name, ignoring cfg keys the chosen
     architecture doesn't take (the reference uses **kwargs the same way)."""
     cls = MODEL_REGISTRY[type_name]
-    fields = set(cls.__dataclass_fields__)
+    # Exclude flax's inherited dataclass fields: 'dtype' is passed
+    # explicitly below, and 'name'/'parent' are module-tree internals.
+    fields = set(cls.__dataclass_fields__) - {"dtype", "name", "parent"}
     kwargs = {k: v for k, v in dict(model_cfg).items() if k in fields}
     return cls(dtype=dtype, **kwargs)

@@ -1,10 +1,14 @@
-"""Device-mesh + sharding helpers.
+"""Device-mesh helpers.
 
 Parallelism model (SURVEY.md §2.10): the only large axis in this workload
-is rays × samples, so we shard the ray axis over a 1-D `data` mesh and
-replicate the (tiny) MLP params. Gradients reduce over ICI via the psum XLA
-inserts for the replicated-param jit partition — no hand-written
-collectives needed. Multi-host would extend the same mesh over DCN.
+is rays x samples, so training shards the ray axis over a 1-D `data` mesh
+with replicated (tiny) MLP params. The mechanism is `shard_map` in
+train/step.py / buff/system.py: each device runs the full per-device step
+body on its own ray slice and gradients/metrics reduce via EXPLICIT
+`jax.lax.pmean` (BuFF additionally psums the voxel accumulators) —
+shard_map(check_rep=False) inserts nothing automatically, so any new
+cross-device state in the step body needs its own collective. Multi-host
+would extend the same mesh over DCN.
 """
 
 from __future__ import annotations
@@ -25,21 +29,6 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
-def ray_sharding(mesh: Mesh) -> NamedSharding:
-    """Rays sharded along the data axis, trailing dims replicated."""
-    return NamedSharding(mesh, P(DATA_AXIS))
-
-
 def replicated(mesh: Mesh) -> NamedSharding:
+    """Replicated placement (params/data before entering shard_map)."""
     return NamedSharding(mesh, P())
-
-
-def shard_rays(mesh: Optional[Mesh], *arrays):
-    """Apply a ray-axis sharding constraint inside jit (no-op without mesh)."""
-    if mesh is None or np.prod(mesh.devices.shape) == 1:
-        return arrays if len(arrays) > 1 else arrays[0]
-    spec = P(DATA_AXIS)
-    out = tuple(
-        jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec)) for a in arrays
-    )
-    return out if len(out) > 1 else out[0]

@@ -48,7 +48,8 @@ class RenderSettings(NamedTuple):
 
 
 def _apply_field(model, params, origins, ray_directions, intervals,
-                 use_fused: bool = False, inference: bool = False):
+                 use_fused: bool = False, inference: bool = False,
+                 key: Optional[jax.Array] = None):
     """Run a radiance-field model over rays: o,d (R,3), intervals (R,S).
     Returns the field CHANNELS-FIRST, (4, R, S) — feed
     volume_render(channels_first=True). Unwraps (field, aux) tuples
@@ -56,7 +57,9 @@ def _apply_field(model, params, origins, ray_directions, intervals,
 
     With `use_fused`, eligible models (the FlexibleNeRF family) run through
     the fused Pallas MLP kernel straight from the rays (no (R,S,3) points
-    array materializes); others expand points/dirs for flax apply."""
+    array materializes); others expand points/dirs for flax apply.
+    `key` feeds stochastic modules (DropModel's train-mode dropout, the
+    reference's torch train() semantics)."""
     if use_fused:
         from nerfmeshes_tpu.ops.pallas.fused_mlp import (
             fused_flexible_apply_rays,
@@ -70,7 +73,16 @@ def _apply_field(model, params, origins, ray_directions, intervals,
             )
     points = intervals_to_ray_points(intervals, ray_directions, origins)
     dirs = jnp.broadcast_to(ray_directions[..., None, :], points.shape)
-    out = model.apply(params, points, dirs)
+    from nerfmeshes_tpu.models.nerf_models import DropModel
+
+    if isinstance(model, DropModel) and not inference:
+        out = model.apply(
+            params, points, dirs,
+            deterministic=False,
+            rngs={"dropout": key if key is not None else jax.random.key(0)},
+        )
+    else:
+        out = model.apply(params, points, dirs)
     if isinstance(out, tuple):
         out = out[0]
     return jnp.moveaxis(out, -1, 0)
@@ -102,7 +114,9 @@ def render_rays(
         raise ValueError("training render with perturb/noise requires a key")
     if key is None:
         key = jax.random.key(0)
-    k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+    k_perturb, k_noise_c, k_pdf, k_noise_f, k_field_c, k_field_f = (
+        jax.random.split(key, 6)
+    )
 
     origins = jnp.broadcast_to(jnp.reshape(ray_origins, (-1, 3)), (R, 3))
 
@@ -118,6 +132,7 @@ def render_rays(
     coarse_field = _apply_field(
         coarse_model, params["coarse"], origins, ray_directions, intervals,
         use_fused=settings.use_fused_kernel, inference=not train,
+        key=k_field_c,
     )
     noise_std = settings.radiance_field_noise_std if train else 0.0
     coarse_bundle = volume_render(
@@ -144,6 +159,7 @@ def render_rays(
         fine_field = _apply_field(
             fine_model, params["fine"], origins, ray_directions, fine_intervals,
             use_fused=settings.use_fused_kernel, inference=not train,
+            key=k_field_f,
         )
         fine_bundle = volume_render(
             fine_field,

@@ -21,7 +21,7 @@ import optax
 
 from nerfmeshes_tpu.ops.math import img2mse, mse2psnr
 from nerfmeshes_tpu.ops.rays import ndc_rays
-from nerfmeshes_tpu.parallel.mesh import DATA_AXIS, shard_rays
+from nerfmeshes_tpu.parallel.mesh import DATA_AXIS
 from nerfmeshes_tpu.train.render import RenderSettings, render_rays
 
 
@@ -42,7 +42,7 @@ def init_train_state(params, optimizer, seed: int) -> TrainState:
 
 
 def _sample_ray_batch(
-    data, key, *, H, W, focal, num_rays, use_ndc, mesh, intrinsics=None,
+    data, key, *, H, W, focal, num_rays, use_ndc, intrinsics=None,
     sample_all_images: bool = False,
 ):
     """On-device replacement for DataLoader workers + batch_random_sampling
@@ -101,7 +101,6 @@ def _sample_ray_batch(
     if use_ndc:
         origins, directions = ndc_rays(H, W, focal, 1.0, origins, directions)
 
-    origins, directions, targets = shard_rays(mesh, origins, directions, targets)
     return origins, directions, targets, near, far
 
 
@@ -195,7 +194,6 @@ def make_train_step(
             focal=focal,
             num_rays=local_rays,
             use_ndc=use_ndc,
-            mesh=None,
             intrinsics=intrinsics,
             sample_all_images=sample_all,
         )

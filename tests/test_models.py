@@ -142,3 +142,29 @@ def test_experimental_encoders(rng, name):
     expect = 64 if name == "Embbed2" else 32
     assert out.shape == (7, expect)
     assert bool(jnp.all(jnp.abs(out) <= 32.0 + 1e-4))  # bounded-ish outputs
+
+
+def test_dropmodel_dropout_active_in_training():
+    """DropModel's defining dropout must actually fire on the training
+    path (torch train-mode semantics) and stay off at inference."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmeshes_tpu.models.nerf_models import DropModel
+    from nerfmeshes_tpu.train.render import _apply_field
+
+    model = DropModel(num_layers=2, hidden_size=32, num_encoding_fn_xyz=8)
+    o = jnp.zeros((4, 3))
+    d = jnp.ones((4, 3)) / np.sqrt(3.0)
+    z = jnp.linspace(2.0, 6.0, 5)[None, :].repeat(4, 0)
+    pts = jnp.zeros((2, 3))
+    params = model.init(jax.random.key(0), pts, pts)
+
+    train1 = _apply_field(model, params, o, d, z, key=jax.random.key(1))
+    train2 = _apply_field(model, params, o, d, z, key=jax.random.key(2))
+    # Different dropout masks -> different outputs.
+    assert float(jnp.abs(train1 - train2).max()) > 1e-6
+    # Inference is deterministic regardless of key.
+    inf1 = _apply_field(model, params, o, d, z, inference=True, key=jax.random.key(1))
+    inf2 = _apply_field(model, params, o, d, z, inference=True, key=jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(inf1), np.asarray(inf2))
