@@ -87,12 +87,35 @@ def make_synthetic_dataset(
     focal = 0.5 * W / np.tan(0.5 * 0.6911)  # lego-like fov
     origins, dirs = get_ray_bundle(H, W, focal, jnp.asarray(poses))
 
-    render = jax.jit(
-        lambda o, d: render_ground_truth(
-            o, d, near, far, white_background=white_background
-        )
-    )
-    imgs = np.stack([np.asarray(render(origins[i], dirs[i])) for i in range(num_images)])
+    # ONE jitted program renders every image, lax.map-ing over fixed-size
+    # ray chunks (bounds peak memory at 800^2: an unchunked image needs
+    # ~5GB of sample intermediates), and ONE host fetch returns the stack.
+    # The previous per-image render + per-image np.asarray paid N tunnel
+    # round-trips and once tripped a transient TPU FAILED_PRECONDITION
+    # mid-loop (VERDICT r1 item 4).
+    total = num_images * H * W
+    chunk = min(65536, total)
+    pad = (-total) % chunk
+    # origins come back one-per-pose (N, 3); broadcast per pixel.
+    flat_o = jnp.broadcast_to(origins[:, None, None, :], dirs.shape).reshape(-1, 3)
+    flat_d = dirs.reshape(-1, 3)
+    if pad:
+        flat_o = jnp.concatenate([flat_o, flat_o[-1:].repeat(pad, 0)], 0)
+        flat_d = jnp.concatenate([flat_d, flat_d[-1:].repeat(pad, 0)], 0)
+    C = flat_o.shape[0] // chunk
+
+    @jax.jit
+    def render_all(o, d):
+        def body(od):
+            co, cd = od
+            return render_ground_truth(
+                co, cd, near, far, white_background=white_background
+            )
+
+        return jax.lax.map(body, (o.reshape(C, chunk, 3), d.reshape(C, chunk, 3)))
+
+    imgs = np.asarray(render_all(flat_o, flat_d)).reshape(-1, 3)[:total]
+    imgs = imgs.reshape(num_images, H, W, 3)
 
     return DataBundle(
         ray_targets=imgs.astype(np.float32),
