@@ -135,9 +135,10 @@ def make_buff_train_step(
     if steps_per_call is None:
         steps_per_call = int(cfg.experiment.steps_per_call)
 
-    from nerfmeshes_tpu.train.optim import build_schedule
+    from nerfmeshes_tpu.train.optim import accumulation_steps, build_schedule
 
     schedule = build_schedule(cfg)
+    accum = accumulation_steps(cfg)
 
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     if num_rays % max(n_shards, 1) != 0:
@@ -233,7 +234,7 @@ def make_buff_train_step(
         )
 
         metrics = dict(aux["metrics"])
-        metrics["train/lr"] = schedule(state.step)
+        metrics["train/lr"] = schedule(state.step // accum)
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1, key=key
         )

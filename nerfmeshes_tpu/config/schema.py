@@ -87,6 +87,11 @@ def get_default_cfg() -> CfgNode:
             "optimizer": {
                 "type": "Adam",
                 "lr": 5.0e-3,
+                # micro-batch gradient accumulation: average grads over N
+                # consecutive step bodies before one optimizer update (the
+                # knob the reference hardcodes off via
+                # accumulate_grad_batches=1, src/train_nerf.py:91).
+                "accumulate_steps": 1,
             },
             "scheduler": {
                 "type": "DefaultScheduler",

@@ -57,22 +57,43 @@ def build_schedule(cfg) -> Callable[[int], float]:
     raise ValueError(f"Unknown scheduler type {kind!r}")
 
 
+def accumulation_steps(cfg) -> int:
+    """cfg.optimizer.accumulate_steps (>=1); 1 = no accumulation."""
+    try:
+        return max(1, int(cfg.optimizer.get("accumulate_steps", 1)))
+    except AttributeError:  # plain dict-like cfg in tests
+        return max(1, int(getattr(cfg.optimizer, "accumulate_steps", 1)))
+
+
 def build_optimizer(cfg) -> optax.GradientTransformation:
     """cfg.optimizer.type (torch.optim names) -> optax transform with the
-    schedule from cfg.scheduler applied per step."""
+    schedule from cfg.scheduler applied per step.
+
+    With cfg.optimizer.accumulate_steps > 1 the transform is wrapped in
+    optax.MultiSteps: each update call feeds one micro-batch gradient into
+    a running mean and the inner optimizer (and its schedule) advances
+    once every N calls — exactly one big batch of N x num_random_rays
+    rays, since the MSE loss means over rays."""
     schedule = build_schedule(cfg)
     kind = cfg.optimizer.type
 
     if kind == "Adam":
-        return optax.adam(schedule)
-    if kind == "AdamW":
-        return optax.adamw(schedule)
-    if kind == "Adamax":
-        return optax.adamax(schedule)
-    if kind == "SGD":
-        return optax.sgd(schedule)
-    if kind == "RMSprop":
-        return optax.rmsprop(schedule)
-    if kind == "Adagrad":
-        return optax.adagrad(schedule)
-    raise ValueError(f"Unknown optimizer type {kind!r}")
+        opt = optax.adam(schedule)
+    elif kind == "AdamW":
+        opt = optax.adamw(schedule)
+    elif kind == "Adamax":
+        opt = optax.adamax(schedule)
+    elif kind == "SGD":
+        opt = optax.sgd(schedule)
+    elif kind == "RMSprop":
+        opt = optax.rmsprop(schedule)
+    elif kind == "Adagrad":
+        opt = optax.adagrad(schedule)
+    else:
+        raise ValueError(f"Unknown optimizer type {kind!r}")
+
+    accum = accumulation_steps(cfg)
+    if accum > 1:
+        ms = optax.MultiSteps(opt, every_k_schedule=accum)
+        opt = ms.gradient_transformation()
+    return opt

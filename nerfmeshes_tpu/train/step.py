@@ -133,9 +133,12 @@ def make_train_step(
     if steps_per_call is None:
         steps_per_call = int(cfg.experiment.steps_per_call)
 
-    from nerfmeshes_tpu.train.optim import build_schedule
+    from nerfmeshes_tpu.train.optim import accumulation_steps, build_schedule
 
     schedule = build_schedule(lr_schedule_cfg)
+    # With gradient accumulation the inner optimizer (and its schedule)
+    # advances once per `accum` step bodies.
+    accum = accumulation_steps(cfg)
 
     def loss_fn(params, origins, directions, targets, near, far, key):
         coarse_bundle, fine_bundle = render_rays(
@@ -209,7 +212,7 @@ def make_train_step(
             )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["train/lr"] = schedule(state.step)
+        metrics["train/lr"] = schedule(state.step // accum)
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1, key=key
         )

@@ -127,6 +127,87 @@ def test_query_rgb_matches_query_rays(trained):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+def test_grad_accumulation_matches_big_batch(tiny_cfg):
+    """N accumulated micro-grads apply exactly like ONE update with their
+    mean (= one big batch, since the MSE loss means over rays). SURVEY
+    §2.10 knob; the reference hardcodes it off (src/train_nerf.py:91)."""
+    import jax
+
+    from nerfmeshes_tpu.train.optim import build_optimizer
+
+    accum = 4
+    cfg_a = tiny_cfg.clone()
+    cfg_a.optimizer.accumulate_steps = accum
+    cfg_b = tiny_cfg.clone()
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.arange(2.0)}
+    grads = [
+        jax.tree_util.tree_map(
+            lambda p, i=i: (i + 1.0) * 0.01 * jnp.ones_like(p), params
+        )
+        for i in range(accum)
+    ]
+    mean_grad = jax.tree_util.tree_map(
+        lambda *gs: sum(gs) / len(gs), *grads
+    )
+
+    opt_a = build_optimizer(cfg_a)
+    st_a = opt_a.init(params)
+    p_a = params
+    for i, g in enumerate(grads):
+        upd, st_a = opt_a.update(g, st_a, p_a)
+        p_prev = p_a
+        p_a = __import__("optax").apply_updates(p_a, upd)
+        if i < accum - 1:  # params must not move mid-accumulation
+            np.testing.assert_array_equal(p_a["w"], p_prev["w"])
+
+    opt_b = build_optimizer(cfg_b)
+    st_b = opt_b.init(params)
+    upd, _ = opt_b.update(mean_grad, st_b, params)
+    p_b = __import__("optax").apply_updates(params, upd)
+
+    np.testing.assert_allclose(p_a["w"], p_b["w"], rtol=1e-6)
+    np.testing.assert_allclose(p_a["b"], p_b["b"], rtol=1e-6)
+
+
+def test_grad_accumulation_train_step(tiny_cfg):
+    """The jitted step with accumulate_steps=2 holds params between
+    boundaries, steps them at boundaries, and trains to a finite loss."""
+    import jax
+
+    from nerfmeshes_tpu.train.optim import build_optimizer
+    from nerfmeshes_tpu.train.step import init_train_state, make_train_step
+    from nerfmeshes_tpu.train.system import create_models, init_params
+
+    cfg = tiny_cfg.clone()
+    cfg.optimizer.accumulate_steps = 2
+    cfg.experiment.steps_per_call = 1
+    # key(0) inits this tiny net with sigma < 0 everywhere (relu-dead, zero
+    # grads); seed 42 + sigma noise matches the trainable system setup.
+    cfg.nerf.train.radiance_field_noise_std = 0.2
+    ds = SyntheticDataset(cfg, DatasetType.TRAIN, num_images=3, image_size=16)
+    data = ds.device_arrays()
+    H, W, focal = ds.hwf
+    coarse, fine = create_models(cfg)
+    opt = build_optimizer(cfg)
+    params = init_params(cfg, coarse, fine, jax.random.key(42))
+    state = init_train_state(params, opt, 0)
+    fn = make_train_step(
+        cfg, coarse, fine, opt, H=int(H), W=int(W), focal=float(focal), donate=False
+    )
+
+    p0 = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0]
+    ).copy()
+    state, m = fn(state, data)  # micro-step 1: grads stashed, params held
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)
+    state, m = fn(state, data)  # micro-step 2: optimizer applies
+    p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert np.any(p2 != p1)
+    assert np.isfinite(float(m["train/loss"]))
+
+
 def test_bfloat16_compute_dtype_trains(tiny_cfg, tmp_path):
     """--precision 16 path: bf16 compute trains to a finite decreasing
     loss (params/accum stay f32)."""
