@@ -175,12 +175,15 @@ class RayDataset:
     def device_arrays(self) -> dict:
         """Everything the jitted train step samples from, as jnp arrays:
         targets (N,H,W,3), poses (N,4,4), bounds (2,) or (N,2), hwf."""
-        return {
+        out = {
             "targets": jnp.asarray(self.bundle.ray_targets),
             "poses": jnp.asarray(self.poses),
             "bounds": jnp.asarray(self.bundle.ray_bounds),
             "hwf": self.hwf,
         }
+        if self.bundle.target_depth is not None:
+            out["target_depth"] = jnp.asarray(self.bundle.target_depth)
+        return out
 
     def load_dataset(self) -> DataBundle:
         raise NotImplementedError
@@ -217,9 +220,11 @@ class BlenderDataset(RayDataset):
 class SyntheticDataset(RayDataset):
     """Procedural analytic scene (tests/benchmarks; no files needed)."""
 
-    def __init__(self, cfg, type: DatasetType = DatasetType.TRAIN, num_images=8, image_size=32):
+    def __init__(self, cfg, type: DatasetType = DatasetType.TRAIN, num_images=8, image_size=32,
+                 with_depth: bool = False):
         self._num_images = num_images
         self._image_size = image_size
+        self._with_depth = with_depth
         super().__init__(cfg, type)
 
     def load_dataset(self) -> DataBundle:
@@ -233,6 +238,7 @@ class SyntheticDataset(RayDataset):
             far=self.cfg.dataset.far,
             white_background=self.cfg.dataset.white_background,
             seed=seed,
+            with_depth=self._with_depth,
         )
 
 

@@ -52,8 +52,13 @@ def render_ground_truth(
     far: float,
     num_samples: int = 256,
     white_background: bool = False,
-) -> jnp.ndarray:
-    """Dense-quadrature render of the analytic field -> rgb (..., 3)."""
+    with_depth: bool = False,
+):
+    """Dense-quadrature render of the analytic field -> rgb (..., 3).
+
+    With `with_depth`, also returns GT depth (...,) using the blender-EXR
+    convention (reference: src/data/loaders/load_blender.py:47-52): empty
+    rays (little accumulated opacity) carry depth 0.0."""
     flat_dirs = directions.reshape(-1, 3)
     flat_origins = jnp.broadcast_to(
         origins.reshape(-1, 3) if origins.ndim > 1 else origins[None, :],
@@ -63,9 +68,13 @@ def render_ground_truth(
     pts = intervals_to_ray_points(z, flat_dirs, flat_origins)
     field = analytic_field(pts)
     out = volume_render(
-        field, z, flat_dirs, train=False, white_background=white_background
+        field, z, flat_dirs, train=True, white_background=white_background
     )
-    return out.rgb_map.reshape(*directions.shape[:-1], 3)
+    rgb = out.rgb_map.reshape(*directions.shape[:-1], 3)
+    if not with_depth:
+        return rgb
+    depth = jnp.where(out.acc_map > 0.5, out.depth_map / jnp.maximum(out.acc_map, 1e-6), 0.0)
+    return rgb, depth.reshape(directions.shape[:-1])
 
 
 def make_synthetic_dataset(
@@ -76,6 +85,7 @@ def make_synthetic_dataset(
     radius: float = 4.0,
     white_background: bool = False,
     seed: int = 0,
+    with_depth: bool = False,
 ) -> DataBundle:
     """Render `num_images` orbit views of the analytic scene."""
     rng = np.random.default_rng(seed)
@@ -109,19 +119,27 @@ def make_synthetic_dataset(
         def body(od):
             co, cd = od
             return render_ground_truth(
-                co, cd, near, far, white_background=white_background
+                co, cd, near, far, white_background=white_background,
+                with_depth=with_depth,
             )
 
         return jax.lax.map(body, (o.reshape(C, chunk, 3), d.reshape(C, chunk, 3)))
 
-    imgs = np.asarray(render_all(flat_o, flat_d)).reshape(-1, 3)[:total]
-    imgs = imgs.reshape(num_images, H, W, 3)
+    out = render_all(flat_o, flat_d)
+    depth = None
+    if with_depth:
+        rgb, z = out
+        depth = np.asarray(z).reshape(-1)[:total].reshape(num_images, H, W)
+    else:
+        rgb = out
+    imgs = np.asarray(rgb).reshape(-1, 3)[:total].reshape(num_images, H, W, 3)
 
     return DataBundle(
         ray_targets=imgs.astype(np.float32),
         poses=poses.astype(np.float32),
         hwf=np.array([H, W, focal], dtype=np.float32),
         ray_bounds=np.array([near, far], dtype=np.float32),
+        target_depth=None if depth is None else depth.astype(np.float32),
     )
 
 

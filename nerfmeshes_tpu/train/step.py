@@ -63,6 +63,7 @@ def _sample_ray_batch(
     else:
         k_img, k_pix = jax.random.split(key)
     num_images = data["poses"].shape[0]
+    depth = None
     if sample_all_images:
         # Global ray pool: every ray draws its own (image, pixel) — decorrelates
         # the batch vs the reference's one-image-per-step scheme. Poses are
@@ -76,11 +77,17 @@ def _sample_ray_batch(
         targets = data["targets"].reshape(num_images * H * W, -1)[
             img * (H * W) + pix
         ]
+        if "target_depth" in data:
+            depth = data["target_depth"].reshape(num_images * H * W)[
+                img * (H * W) + pix
+            ]
     else:
         img = jax.random.randint(k_img, (), 0, num_images)
         pix = jax.random.randint(k_pix, (num_rays,), 0, H * W)
         pose = data["poses"][img]
         targets = data["targets"][img].reshape(H * W, -1)[pix]
+        if "target_depth" in data:
+            depth = data["target_depth"][img].reshape(H * W)[pix]
 
     x = (pix % W).astype(jnp.float32)
     y = (pix // W).astype(jnp.float32)
@@ -101,7 +108,32 @@ def _sample_ray_batch(
     if use_ndc:
         origins, directions = ndc_rays(H, W, focal, 1.0, origins, directions)
 
-    return origins, directions, targets, near, far
+    return origins, directions, targets, near, far, depth
+
+
+def depth_loss_metrics(scope, rgb_out, rgb_tgt, depth_out, depth_tgt, empty=0.0):
+    """Device-side masked surface/void depth+rgb loss decomposition — the
+    per-step DepthLossLogger (reference: src/nerf/loggers.py:75-108,
+    wired at src/models/model_buff.py:96-107), computed inside the jitted
+    step as scalars so the hot loop stays host-free (the host-side class
+    in utils/loggers.py serves offline analysis of fetched arrays)."""
+    mask = depth_tgt > empty
+    n_s = jnp.maximum(jnp.sum(mask), 1)
+    n_v = jnp.maximum(jnp.sum(~mask), 1)
+    d2 = (depth_out - depth_tgt) ** 2
+    rgb2 = (rgb_out - rgb_tgt) ** 2
+    return {
+        f"{scope}/depth_loss": jnp.mean(d2),
+        f"{scope}/depth_empty": jnp.sum(jnp.where(mask, 0.0, d2)) / n_v,
+        f"{scope}/depth_space": jnp.sum(jnp.where(mask, d2, 0.0)) / n_s,
+        f"{scope}/depth_l1": jnp.sum(jnp.where(mask, depth_out - depth_tgt, 0.0)) / n_s,
+        f"{scope}/rgb_surface_loss": jnp.sum(
+            jnp.where(mask[:, None], rgb2, 0.0)
+        ) / (n_s * rgb2.shape[-1]),
+        f"{scope}/rgb_void_loss": jnp.sum(
+            jnp.where(mask[:, None], 0.0, rgb2)
+        ) / (n_v * rgb2.shape[-1]),
+    }
 
 
 def make_train_step(
@@ -140,7 +172,7 @@ def make_train_step(
     # advances once per `accum` step bodies.
     accum = accumulation_steps(cfg)
 
-    def loss_fn(params, origins, directions, targets, near, far, key):
+    def loss_fn(params, origins, directions, targets, near, far, depth_tgt, key):
         coarse_bundle, fine_bundle = render_rays(
             coarse_model,
             fine_model,
@@ -167,6 +199,12 @@ def make_train_step(
             loss = loss + fine_loss
             metrics["train/fine_loss"] = fine_loss
             metrics["train/fine_psnr"] = mse2psnr(fine_loss)
+        if depth_tgt is not None:
+            metrics.update(
+                depth_loss_metrics(
+                    "train", finest.rgb_map, targets, finest.depth_map, depth_tgt
+                )
+            )
         metrics["train/loss"] = loss
         return loss, metrics
 
@@ -189,7 +227,7 @@ def make_train_step(
             k_pix = jax.random.fold_in(k_pix, shard)
             k_sample = _merge_img_pix_keys(k_img, k_pix)
             k_render = jax.random.fold_in(k_render, shard)
-        origins, directions, targets, near, far = _sample_ray_batch(
+        origins, directions, targets, near, far, depth_tgt = _sample_ray_batch(
             data,
             k_sample,
             H=H,
@@ -201,7 +239,7 @@ def make_train_step(
             sample_all_images=sample_all,
         )
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, origins, directions, targets, near, far, k_render
+            state.params, origins, directions, targets, near, far, depth_tgt, k_render
         )
         if n_shards > 1:
             grads = jax.tree_util.tree_map(

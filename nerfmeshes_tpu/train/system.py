@@ -265,6 +265,24 @@ class NeRFSystem:
                     finest.rgb_map.reshape(int(H), int(W), 3),
                     step,
                 )
+                if fine is not None:
+                    # The reference logs the coarse render alongside the
+                    # fine one per view (src/models/model_nerf.py:186-220).
+                    self.logger.log_image(
+                        f"validation/rgb_coarse/{i}",
+                        coarse.rgb_map.reshape(int(H), int(W), 3),
+                        step,
+                    )
+                if finest.disp_map is not None:
+                    from nerfmeshes_tpu.utils.images import cast_to_disparity_image
+
+                    disp = cast_to_disparity_image(
+                        finest.disp_map.reshape(int(H), int(W)),
+                        white_background=bool(self.cfg.dataset.white_background),
+                    )
+                    self.logger.log_image(
+                        f"validation/disparity/{i}", disp[..., None].repeat(3, -1), step
+                    )
                 self.logger.log_image(
                     f"validation/img_target/{i}", target.reshape(int(H), int(W), 3), step
                 )
@@ -332,6 +350,12 @@ class NeRFSystem:
         validate_every = int(cfg.experiment.validate_every)
         print_every = int(cfg.experiment.print_every)
         steps_per_call = int(cfg.experiment.steps_per_call)
+        proj_every = max(1, int(cfg.logging.projection_step_size))
+        use_projection = (
+            bool(cfg.logging.use_projection)
+            and self.logger is not None
+            and self.logger._tb is not None
+        )
 
         last_metrics = {}
         t0 = time.time()
@@ -349,6 +373,13 @@ class NeRFSystem:
             self.on_step(step)
             self._check_early_stopping(metrics, step)
 
+            if (
+                use_projection
+                and step >= proj_every
+                and step % proj_every < steps_per_call
+            ):
+                self._log_depth_projection(step)
+
             if step % print_every < steps_per_call or step >= max_steps:
                 host = {
                     k: float(v)
@@ -358,6 +389,7 @@ class NeRFSystem:
                 }
                 host["train/rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
                 last_metrics = host
+                self.on_host_metrics(host, step)
                 if self.logger is not None:
                     self.logger.log_scalars(host, step)
                     print(self.logger.console_line(host, step), flush=True)
@@ -381,6 +413,52 @@ class NeRFSystem:
     def on_step(self, step: int) -> None:
         """Hook called after every jitted multi-step call (subclasses:
         BuFF tree consolidation)."""
+
+    def on_host_metrics(self, metrics: dict, step: int) -> None:
+        """Hook called with freshly fetched host metrics at print cadence
+        (subclasses: BuFF chord-cap monitoring)."""
+
+    def _log_depth_projection(self, step: int, max_rays: int = 2048) -> None:
+        """Predicted-vs-target depth point cloud as a TB mesh every
+        `logging.projection_step_size` steps (reference: LoggerDepthProjection,
+        src/nerf/loggers.py:7-31, wired at src/models/model_buff.py:26-29).
+
+        The reference projects the live training batch; here the hot loop is
+        one jitted program with no host-visible batch, so a deterministic
+        ~`max_rays`-ray probe of train view 0 is rendered and fetched at the
+        same cadence instead (one small transfer per projection step)."""
+        from nerfmeshes_tpu.utils.loggers import DepthProjectionLogger
+
+        if getattr(self, "_proj_logger", None) is None:
+            self._proj_logger = DepthProjectionLogger(step_size=1)
+        origins, directions = self.train_dataset.image_rays(0)
+        stride = max(1, int(directions.shape[0]) // max_rays)
+        o, d = origins[::stride], directions[::stride]
+        near, far = np.asarray(self.train_dataset._bounds_for(0)).reshape(-1)[:2]
+        coarse, fine = render_image(
+            self._render_chunk,
+            self.state.params,
+            o,
+            d,
+            float(near),
+            float(far),
+            chunk_size=min(int(self.cfg.nerf.validation.chunksize), d.shape[0]),
+            fields=("depth_map",),
+        )
+        finest = fine if fine is not None else coarse
+        depth_target = None
+        if self.train_dataset.bundle.target_depth is not None:
+            depth_target = np.asarray(
+                self.train_dataset.bundle.target_depth[0]
+            ).reshape(-1)[::stride]
+        self._proj_logger.tick(
+            self.logger._tb,
+            step,
+            np.asarray(o),
+            np.asarray(d),
+            finest.depth_map,
+            depth_target,
+        )
 
     def checkpoint_extra(self) -> dict:
         return {}

@@ -208,6 +208,59 @@ def test_grad_accumulation_train_step(tiny_cfg):
     assert np.isfinite(float(m["train/loss"]))
 
 
+def test_depth_diagnostics_wired(tiny_cfg, tmp_path):
+    """Training on a depth-bearing dataset emits the per-step depth-loss
+    decomposition, the periodic TB depth-projection mesh, and the
+    coarse/fine/disparity validation images (reference:
+    src/nerf/loggers.py:7-108, src/models/model_nerf.py:186-220)."""
+    import json as json_mod
+
+    cfg = tiny_cfg.clone()
+    cfg.experiment.train_iters = 60
+    cfg.experiment.validate_every = 60
+    cfg.experiment.print_every = 20
+    cfg.experiment.steps_per_call = 10
+    cfg.models.use_fine = True
+    cfg.logging.use_projection = True
+    cfg.logging.projection_step_size = 30
+    paths = ExperimentPaths(tmp_path / "depthrun").create()
+    system = NeRFSystem(cfg, paths)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=3, image_size=16, with_depth=True),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=16, with_depth=True),
+    )
+    system.fit()
+
+    # Scalar decomposition present every logged step.
+    lines = [
+        json_mod.loads(ln)
+        for ln in (paths.events_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    train_recs = [r for r in lines if "train/depth_loss" in r]
+    assert train_recs, "train/depth_loss missing from metrics"
+    for key in (
+        "train/depth_empty",
+        "train/depth_space",
+        "train/depth_l1",
+        "train/rgb_surface_loss",
+        "train/rgb_void_loss",
+    ):
+        assert key in train_recs[-1], key
+
+    # Validation images: fine + coarse + disparity + target.
+    imgs = {p.name for p in (paths.events_dir / "images").glob("*.png")}
+    assert any(n.startswith("validation_rgb_fine") for n in imgs), imgs
+    assert any(n.startswith("validation_rgb_coarse") for n in imgs), imgs
+    assert any(n.startswith("validation_disparity") for n in imgs), imgs
+
+    # TB depth-projection mesh tag written at the projection cadence.
+    if system.logger._tb is not None:
+        blobs = b"".join(
+            p.read_bytes() for p in paths.events_dir.glob("events.out.tfevents.*")
+        )
+        assert b"Point Cloud" in blobs
+
+
 def test_bfloat16_compute_dtype_trains(tiny_cfg, tmp_path):
     """--precision 16 path: bf16 compute trains to a finite decreasing
     loss (params/accum stay f32)."""
