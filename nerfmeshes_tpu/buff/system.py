@@ -56,7 +56,8 @@ def buff_render_rays(
     max_chords: int = 0,
 ):
     """Tree-sampled render of a ray batch (reference: BuFFModel.forward,
-    src/models/model_buff.py:34-69). Returns (bundle, voxel_idx, ray_mask)."""
+    src/models/model_buff.py:34-69). Returns
+    (bundle, voxel_idx, ray_mask, dropped_chords)."""
     R = directions.shape[0]
     if key is None:
         key = jax.random.key(0)
@@ -72,7 +73,7 @@ def buff_render_rays(
         perturb=settings.perturb and train,
         key=k_perturb,
     )
-    z_tree, voxel_idx, ray_mask = ray_voxel_intersect(
+    z_tree, voxel_idx, ray_mask, dropped = ray_voxel_intersect(
         tree_state.voxels,
         tree_state.active,
         origins_b,
@@ -102,7 +103,7 @@ def buff_render_rays(
         key=k_noise,
         channels_first=True,
     )
-    return bundle, voxel_idx, ray_mask
+    return bundle, voxel_idx, ray_mask, dropped
 
 
 class BuffCarry(NamedTuple):
@@ -148,8 +149,9 @@ def make_buff_train_step(
     local_rays = num_rays // max(n_shards, 1)
     axis_name = DATA_AXIS if n_shards > 1 else None
 
-    def loss_fn(params, tree_state, origins, directions, targets, near, far, key):
-        bundle, voxel_idx, ray_mask = buff_render_rays(
+    def loss_fn(params, tree_state, origins, directions, targets, near, far,
+                depth_tgt, key):
+        bundle, voxel_idx, ray_mask, dropped = buff_render_rays(
             model,
             params,
             tree_state,
@@ -164,16 +166,30 @@ def make_buff_train_step(
             max_chords=max_chords,
         )
         loss = img2mse(bundle.rgb_map, targets)
+        metrics = {
+            "train/loss": loss,
+            "train/psnr": mse2psnr(loss),
+            "train/rgb_sum": jnp.sum(bundle.rgb_map),
+            # Chords beyond the per-ray compaction cap this step (per-device
+            # batch sum; pmean'd across shards like every metric). Nonzero
+            # means the sampler is losing geometry — BuFFSystem warns and
+            # auto-doubles the cap at the next consolidation.
+            "train/dropped_chords": jnp.sum(dropped).astype(jnp.float32),
+        }
+        if depth_tgt is not None:
+            from nerfmeshes_tpu.train.step import depth_loss_metrics
+
+            metrics.update(
+                depth_loss_metrics(
+                    "train", bundle.rgb_map, targets, bundle.depth_map, depth_tgt
+                )
+            )
         aux = {
             "weights": bundle.weights,
             "mask_weights": bundle.mask_weights,
             "voxel_idx": voxel_idx,
             "ray_mask": ray_mask,
-            "metrics": {
-                "train/loss": loss,
-                "train/psnr": mse2psnr(loss),
-                "train/rgb_sum": jnp.sum(bundle.rgb_map),
-            },
+            "metrics": metrics,
         }
         return loss, aux
 
@@ -190,7 +206,7 @@ def make_buff_train_step(
             k_pix = jax.random.fold_in(k_pix, shard)
             k_sample = _merge_img_pix_keys(k_img, k_pix)
             k_render = jax.random.fold_in(k_render, shard)
-        origins, directions, targets, near, far = _sample_ray_batch(
+        origins, directions, targets, near, far, depth_tgt = _sample_ray_batch(
             data, k_sample, H=H, W=W, focal=focal, num_rays=local_rays,
             use_ndc=use_ndc, intrinsics=intrinsics,
             sample_all_images=sample_all,
@@ -203,6 +219,7 @@ def make_buff_train_step(
             targets,
             near,
             far,
+            depth_tgt,
             k_render,
         )
         if n_shards > 1:
@@ -283,6 +300,12 @@ class BuFFSystem(NeRFSystem):
 
     def setup(self, train_dataset=None, val_dataset=None):
         super().setup(train_dataset, val_dataset)
+        self._dropped_seen = False
+        self._build_train_fn()
+        self._render_chunk = self._build_render_chunk()
+        return self
+
+    def _build_train_fn(self) -> None:
         H, W, focal = self.train_dataset.hwf
         buff_fn = make_buff_train_step(
             self.cfg,
@@ -302,8 +325,24 @@ class BuFFSystem(NeRFSystem):
 
         self._train_fn = train_fn
 
-        self._render_chunk = self._build_render_chunk()
-        return self
+    # -- chord-cap observability ---------------------------------------------
+    def _effective_max_chords(self) -> int:
+        configured = int(self.cfg.tree.get("max_chords_per_ray", 0))
+        if configured > 0:
+            return configured
+        return max(128, int(self.cfg.nerf.train.num_coarse))
+
+    def on_host_metrics(self, metrics: dict, step: int) -> None:
+        dropped = float(metrics.get("train/dropped_chords", 0.0))
+        if dropped > 0:
+            self._dropped_seen = True
+            print(
+                f"WARNING: BuFF chord cap binding at step {step}: "
+                f"{dropped:.0f} ray/voxel chords dropped this step "
+                f"(max_chords_per_ray={self._effective_max_chords()}); "
+                "the cap will auto-double at the next consolidation.",
+                flush=True,
+            )
 
     def setup_eval(self, val_dataset=None):
         if val_dataset is not None:
@@ -321,7 +360,7 @@ class BuFFSystem(NeRFSystem):
 
         @jax.jit
         def render_chunk_with_tree(params, tree_state, origins, directions, near, far):
-            bundle, _, _ = buff_render_rays(
+            bundle, _, _, _ = buff_render_rays(
                 self.coarse,
                 params["coarse"],
                 tree_state,
@@ -357,7 +396,7 @@ class BuFFSystem(NeRFSystem):
             def render_rgb(params, tree_state, origins, directions, near, far):
                 def body(od):
                     o, d = od
-                    bundle, _, _ = buff_render_rays(
+                    bundle, _, _, _ = buff_render_rays(
                         self.coarse, params["coarse"], tree_state, o, d,
                         near, far, settings, train=False,
                         use_random_sampling=use_random,
@@ -387,6 +426,27 @@ class BuFFSystem(NeRFSystem):
                 memm = np.asarray(self.tree_state.memm)
                 self.tree_state = self.tree.consolidate(memm)
                 self._log_tree(step + 1)
+                if getattr(self, "_dropped_seen", False):
+                    self._grow_chord_cap()
+
+    def _grow_chord_cap(self) -> None:
+        """Double max_chords_per_ray after observed drops and rebuild the
+        jitted functions (one recompile; at most log2(capacity) times —
+        the kernel clamps K to the voxel capacity)."""
+        self._dropped_seen = False
+        cur = self._effective_max_chords()
+        if cur >= self.tree.capacity:
+            return
+        new = min(2 * cur, self.tree.capacity)
+        print(
+            f"BuFF: raising tree.max_chords_per_ray {cur} -> {new} "
+            "(dropped chords observed; recompiling the train step).",
+            flush=True,
+        )
+        self.cfg.tree.max_chords_per_ray = new
+        self._build_train_fn()
+        self._render_chunk = self._build_render_chunk()
+        self._render_rgb_buff = None
 
     def _log_tree(self, step: int) -> None:
         """Voxel mesh + sorted-memm curve to TB (the reference logs these

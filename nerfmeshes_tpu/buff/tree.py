@@ -211,16 +211,19 @@ def ray_voxel_intersect(
     """Batch ray/AABB intersection + per-ray depth sampling.
 
     voxels: (V, 2, 3); origins: (R, 3) or (3,); dirs: (R, 3).
-    Returns (z_vals (R,S), voxel_indices (R,S), ray_mask (R,)) with samples
-    sorted by depth — semantics of the reference's
-    batch_ray_voxel_intersect (src/nerf/tree.py:215-343).
+    Returns (z_vals (R,S), voxel_indices (R,S), ray_mask (R,),
+    dropped (R,) int32) with samples sorted by depth — semantics of the
+    reference's batch_ray_voxel_intersect (src/nerf/tree.py:215-343).
 
     The deterministic sampler compacts each ray's chords into
     K = max_chords (default max(128, samples_count)) slots; a ray
     crossing more than K active voxels has chords beyond rank K dropped
-    (first-V-index order). K=128 covers ~3*outer_count crossings per
-    depth level with margin for the shipped configs; raise
-    cfg.tree.max_chords_per_ray for very deep trees (cost is linear in K).
+    (first-V-index order). `dropped` counts those per ray (always 0 for
+    the random sampler, which has no cap) so callers can observe the cap
+    binding instead of losing geometry silently — BuFFSystem reports it
+    as train/dropped_chords and auto-doubles the cap at consolidation.
+    K=128 covers ~3*outer_count crossings per depth level with margin for
+    the shipped configs (cost is linear in K).
     """
     R = dirs.shape[0]
     origins = jnp.broadcast_to(jnp.reshape(origins, (-1, 3)), (R, 3))
@@ -254,7 +257,9 @@ def ray_voxel_intersect(
     if far.ndim > 0:
         far = far[:, None]
     mask = mask & (tmin >= near) & (tmax <= far) & active[None, :]
-    ray_mask = jnp.sum(mask, axis=-1) > 0
+    n_hit = jnp.sum(mask, axis=-1)  # (R,) chords per ray
+    ray_mask = n_hit > 0
+    dropped = jnp.zeros_like(n_hit)
 
     if use_random_sampling:
         if key is None:
@@ -288,6 +293,7 @@ def ray_voxel_intersect(
         V = mask.shape[-1]
         K = min(V, max_chords if max_chords > 0 else max(128, samples_count))
 
+        dropped = jnp.maximum(n_hit - K, 0)
         valid = mask.astype(jnp.int32)
         rank = jnp.cumsum(valid, axis=-1) - 1  # slot in first-V-index order
         slots = jnp.where(mask, rank, K)  # invalid -> dropped slot K
@@ -329,7 +335,7 @@ def ray_voxel_intersect(
         # Construction order is already depth-sorted (monotone targets over
         # depth-sorted chords) — no final sort.
 
-    return z_vals, voxel_idx, ray_mask
+    return z_vals, voxel_idx, ray_mask, dropped
 
 
 def _searchsorted_left(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:

@@ -90,7 +90,7 @@ def test_intersect_parity_with_reference(rays):
     ref_z, ref_idx, ref_mask = ref.batch_ray_voxel_intersect(
         torch.from_numpy(origins), torch.from_numpy(dirs), 2.0, 6.0, samples_count=S
     )
-    z, idx, mask = ray_voxel_intersect(
+    z, idx, mask, _ = ray_voxel_intersect(
         state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs),
         2.0, 6.0, samples_count=S,
     )
@@ -114,7 +114,7 @@ def test_intersect_properties(rays):
     state = ours.device_state()
     origins, dirs = rays
     S = 16
-    z, idx, mask = ray_voxel_intersect(
+    z, idx, mask, _ = ray_voxel_intersect(
         state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs),
         2.0, 6.0, samples_count=S,
     )
@@ -292,12 +292,74 @@ def test_intersect_per_ray_bounds(rays):
     origins, dirs = rays
     R = dirs.shape[0]
     args = (state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs))
-    z, _, m = ray_voxel_intersect(
+    z, _, m, _ = ray_voxel_intersect(
         *args, jnp.full((R,), 2.0), jnp.full((R,), 6.0), samples_count=16
     )
-    z_s, _, m_s = ray_voxel_intersect(*args, 2.0, 6.0, samples_count=16)
+    z_s, _, m_s, _ = ray_voxel_intersect(*args, 2.0, 6.0, samples_count=16)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_s), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(m), np.asarray(m_s))
+
+
+def test_dropped_chords_counting(rays):
+    """When the chord cap binds (K below the true crossing count on a
+    dense deep-style grid), `dropped` reports exactly n_hit - K per ray;
+    with the default K it is zero (VERDICT r1 item 6 — the reference
+    keeps every chord exactly, src/nerf/tree.py:298-335)."""
+    state = TreeSampling(small_cfg()).device_state()
+    origins, dirs = rays
+    args = (state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs))
+
+    # Brute-force per-ray chord count (matches the kernel's slab+caps).
+    boxes, act = np.asarray(state.voxels), np.asarray(state.active)
+    o = np.broadcast_to(origins, dirs.shape)
+    t1 = (boxes[None, :, 0, :] - o[:, None, :]) / dirs[:, None, :]
+    t2 = (boxes[None, :, 1, :] - o[:, None, :]) / dirs[:, None, :]
+    tmin = np.minimum(t1, t2).max(-1)
+    tmax = np.maximum(t1, t2).min(-1)
+    hit = (tmin <= tmax) & (tmin >= 2.0) & (tmax <= 6.0) & act[None, :]
+    n_hit = hit.sum(-1)
+
+    K = 2  # fixture rays cross up to 4 cells of the 4^3 grid
+    _, _, _, dropped = ray_voxel_intersect(
+        *args, 2.0, 6.0, samples_count=16, max_chords=K
+    )
+    np.testing.assert_array_equal(np.asarray(dropped), np.maximum(n_hit - K, 0))
+    assert np.asarray(dropped).sum() > 0, "cap should bind in this setup"
+
+    _, _, _, dropped_default = ray_voxel_intersect(
+        *args, 2.0, 6.0, samples_count=16
+    )
+    assert np.asarray(dropped_default).sum() == 0
+
+
+def test_chord_cap_autoscale(tmp_path):
+    """BuFFSystem doubles max_chords_per_ray at consolidation after
+    observing drops, rebuilding the jitted step."""
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+
+    cfg = small_cfg(max_chords_per_ray=4)
+    cfg.experiment.steps_per_call = 5
+    cfg.experiment.print_every = 5
+    cfg.experiment.train_iters = 40
+    cfg.experiment.validate_every = 0
+    cfg.nerf.train.num_random_rays = 64
+    cfg.nerf.train.num_coarse = 8
+    cfg.nerf.validation.num_coarse = 8
+    cfg.models.coarse.num_layers = 2
+    cfg.models.coarse.hidden_size = 16
+    cfg.dataset.type = "synthetic"
+    system = BuFFSystem(cfg)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=2, image_size=16),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=16),
+    )
+    assert system._effective_max_chords() == 4
+    metrics = system.fit()
+    # The tiny cap binds on this 4^3 grid; a consolidation boundary
+    # (offset 10 + step 20 = 30 <= 40) must have doubled it.
+    assert "train/dropped_chords" in metrics
+    assert system._effective_max_chords() > 4
 
 
 def test_intersect_max_chords_knob(rays):
@@ -306,8 +368,8 @@ def test_intersect_max_chords_knob(rays):
     state = TreeSampling(small_cfg()).device_state()
     origins, dirs = rays
     args = (state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs))
-    z_d, _, m_d = ray_voxel_intersect(*args, 2.0, 6.0, samples_count=16)
-    z_k, _, m_k = ray_voxel_intersect(
+    z_d, _, m_d, _ = ray_voxel_intersect(*args, 2.0, 6.0, samples_count=16)
+    z_k, _, m_k, _ = ray_voxel_intersect(
         *args, 2.0, 6.0, samples_count=16, max_chords=256
     )
     np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_d), atol=1e-6)
