@@ -69,6 +69,9 @@ def get_default_cfg() -> CfgNode:
                 "llff_hold_step": 8,
                 "white_background": False,
                 "spherify": True,
+                # synthetic datasets only: "blobs" (smooth) | "hard"
+                # (crisp SDF geometry + high-frequency texture).
+                "scene": "blobs",
                 "caching": {
                     "use_caching": False,
                     "override_caching": False,

@@ -221,10 +221,13 @@ class SyntheticDataset(RayDataset):
     """Procedural analytic scene (tests/benchmarks; no files needed)."""
 
     def __init__(self, cfg, type: DatasetType = DatasetType.TRAIN, num_images=8, image_size=32,
-                 with_depth: bool = False):
+                 with_depth: bool = False, keep_on_device: bool = False,
+                 gt_samples: int = 256):
         self._num_images = num_images
         self._image_size = image_size
         self._with_depth = with_depth
+        self._keep_on_device = keep_on_device
+        self._gt_samples = gt_samples
         super().__init__(cfg, type)
 
     def load_dataset(self) -> DataBundle:
@@ -239,6 +242,9 @@ class SyntheticDataset(RayDataset):
             white_background=self.cfg.dataset.white_background,
             seed=seed,
             with_depth=self._with_depth,
+            scene=str(self.cfg.dataset.get("scene", "blobs")),
+            num_samples=self._gt_samples,
+            keep_on_device=self._keep_on_device,
         )
 
 

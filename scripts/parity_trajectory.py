@@ -1,0 +1,312 @@
+"""Training-trajectory parity: torch reference vs this rebuild on
+IDENTICAL data with IDENTICAL initial weights.
+
+The one end-to-end claim op-level parity tests cannot establish (VERDICT
+r1 item 1): that a full training run of the rebuild reproduces the
+reference's optimization trajectory. Both stacks train the same
+tiny-but-nontrivial hierarchical workload (4x64 coarse+fine FlexibleNeRF,
+32+32 samples) on the SAME precomputed ray batches from the procedural
+scene, starting from the SAME weights (torch init transplanted into the
+flax params), with deterministic settings (perturb off, sigma noise 0) —
+so the trajectories differ only by framework numerics.
+
+Reference semantics matched: NeRFModel.forward
+(/root/reference/src/models/model_nerf.py:37-78 — sampler -> coarse ->
+VolumeRenderer -> SamplePDF merge -> fine), coarse+fine summed MSE
+(model_nerf.py:113-125), Adam (model_base.py:160).
+
+Usage: python scripts/parity_trajectory.py [--steps 500] [--rays 256]
+Prints a JSON summary; run by tests/test_parity.py at reduced size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _setup_jax_cpu():
+    import jax
+
+    # Trajectory parity wants the highest-precision deterministic substrate
+    # both stacks share: CPU f32 with full-precision matmuls.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    jax.config.update("jax_default_matmul_precision", "highest")
+    return jax
+
+
+ARCH = dict(
+    num_layers=4,
+    hidden_size=64,
+    skip_step=4,
+    num_encoding_fn_xyz=6,
+    num_encoding_fn_dir=4,
+    use_viewdirs=True,
+)
+NUM_COARSE = 32
+NUM_FINE = 32
+NEAR, FAR = 2.0, 6.0
+LR = 5e-4  # robust region (the shipped 5e-3 can collapse either stack)
+
+
+def make_batches(num_steps: int, rays_per_step: int, image_size: int = 32,
+                 num_images: int = 6, eval_rays: int = 4096):
+    """Fixed (origins, dirs, targets) batches + a held-out eval set, all
+    numpy — the single source both stacks consume."""
+    jax = _setup_jax_cpu()
+    import numpy as np
+
+    from nerfmeshes_tpu.data.synthetic import make_synthetic_dataset
+    from nerfmeshes_tpu.ops.rays import get_ray_bundle
+    import jax.numpy as jnp
+
+    bundle = make_synthetic_dataset(num_images=num_images, image_size=image_size,
+                                    near=NEAR, far=FAR, seed=0)
+    H, W, focal = (int(bundle.hwf[0]), int(bundle.hwf[1]), float(bundle.hwf[2]))
+    origins, dirs = get_ray_bundle(H, W, focal, jnp.asarray(bundle.poses))
+    origins = np.asarray(
+        jnp.broadcast_to(origins[:, None, None, :], dirs.shape)
+    ).reshape(num_images, H * W, 3)
+    dirs = np.asarray(dirs).reshape(num_images, H * W, 3)
+    targets = np.asarray(bundle.ray_targets).reshape(num_images, H * W, 3)
+
+    rng = np.random.default_rng(7)
+    batches = []
+    for _ in range(num_steps):
+        img = int(rng.integers(num_images))
+        pix = rng.integers(0, H * W, size=rays_per_step)
+        batches.append(
+            (origins[img, pix].copy(), dirs[img, pix].copy(), targets[img, pix].copy())
+        )
+
+    eval_bundle = make_synthetic_dataset(num_images=2, image_size=image_size,
+                                         near=NEAR, far=FAR, seed=1)
+    eo, ed = get_ray_bundle(H, W, focal, jnp.asarray(eval_bundle.poses))
+    eo = np.asarray(jnp.broadcast_to(eo[:, None, None, :], ed.shape)).reshape(-1, 3)
+    ed = np.asarray(ed).reshape(-1, 3)
+    et = np.asarray(eval_bundle.ray_targets).reshape(-1, 3)
+    pix = np.random.default_rng(11).integers(0, ed.shape[0], size=eval_rays)
+    return batches, (eo[pix], ed[pix], et[pix])
+
+
+def run_reference(batches, eval_set, seed: int = 0, stochastic: bool = False):
+    """Train the reference's own torch modules in place on the fixed
+    batches; return (models, losses, final eval PSNR).
+
+    `stochastic` enables the shipped config's regularizers (perturb=True,
+    sigma noise 0.2, config/nerf-synthetic-lego.yml:186-188) — the regime
+    where the reference trains stably. Deterministic mode (both off) is
+    for step-level numeric comparison only; there the reference itself is
+    violently seed-sensitive (measured: 24.4 / 16.3 / 11.6 dB final PSNR
+    across torch seeds 0/1/2 at 500 steps)."""
+    import numpy as np
+    import torch
+
+    from refload import ref_model_helpers, ref_models, ref_modules
+
+    torch.manual_seed(seed)
+    m = ref_modules()
+    models = ref_models()
+    mh = ref_model_helpers()
+
+    coarse = models.FlexibleNeRFModel(**ARCH)
+    fine = models.FlexibleNeRFModel(**ARCH)
+    sampler = m.RaySampleInterval(NUM_COARSE)
+    sample_pdf = m.SamplePDF(NUM_FINE)
+    noise = 0.2 if stochastic else 0.0
+    renderer = m.VolumeRenderer(noise, 0.0, False, attenuation_threshold=1e-5)
+
+    opt = torch.optim.Adam(
+        list(coarse.parameters()) + list(fine.parameters()), lr=LR
+    )
+
+    class _NS:
+        lindisp = False
+        perturb = stochastic
+
+    cfg_mode = _NS()
+    near, far = torch.tensor(NEAR), torch.tensor(FAR)
+
+    def forward(o, d, train):
+        cfg_mode.perturb = stochastic and train
+        intervals = sampler(cfg_mode, d.shape[0], near, far)
+        pts = mh.intervals_to_ray_points(intervals, d, o)
+        cb = renderer(coarse(pts, d[..., None, :].expand_as(pts)), intervals, d)
+        fi = sample_pdf(
+            intervals, cb.weights, 1.0 if (stochastic and train) else 0.0
+        )
+        pts = mh.intervals_to_ray_points(fi, d, o)
+        fb = renderer(fine(pts, d[..., None, :].expand_as(pts)), fi, d)
+        return cb, fb
+
+    losses = []
+    for o, d, t in batches:
+        o, d, t = map(torch.from_numpy, (o, d, t))
+        opt.zero_grad()
+        cb, fb = forward(o, d, train=True)
+        loss = torch.nn.functional.mse_loss(cb.rgb_map, t) + \
+            torch.nn.functional.mse_loss(fb.rgb_map, t)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss))
+
+    renderer.eval()
+    coarse.eval()
+    fine.eval()
+    eo, ed, et = eval_set
+    with torch.no_grad():
+        mses = []
+        for i in range(0, ed.shape[0], 1024):
+            sl = slice(i, i + 1024)
+            _, fb = forward(
+                torch.from_numpy(eo[sl]), torch.from_numpy(ed[sl]), train=False
+            )
+            mses.append(
+                torch.nn.functional.mse_loss(
+                    fb.rgb_map, torch.from_numpy(et[sl])
+                ).item()
+            )
+    psnr = -10.0 * np.log10(np.mean(mses))
+    return (coarse, fine), losses, float(psnr)
+
+
+def run_rebuild(batches, eval_set, ref_torch_models, stochastic: bool = False,
+                seed: int = 0):
+    """Train the rebuild on the same batches from the reference's initial
+    weights (transplanted); return (losses, final eval PSNR)."""
+    jax = _setup_jax_cpu()
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from nerfmeshes_tpu.models.nerf_models import FlexibleNeRFModel
+    from nerfmeshes_tpu.ops.math import img2mse
+    from nerfmeshes_tpu.train.render import RenderSettings, render_rays
+    from test_models import _transplant_flexible
+
+    coarse = FlexibleNeRFModel(**ARCH)
+    fine = FlexibleNeRFModel(**ARCH)
+    pts = jnp.zeros((2, 2, 3))
+    params = {
+        "coarse": coarse.init(jax.random.key(0), pts, pts),
+        "fine": fine.init(jax.random.key(1), pts, pts),
+    }
+    ref_coarse, ref_fine = ref_torch_models
+    params["coarse"] = _transplant_flexible(
+        params["coarse"], ref_coarse, ARCH["use_viewdirs"], ARCH["num_layers"]
+    )
+    params["fine"] = _transplant_flexible(
+        params["fine"], ref_fine, ARCH["use_viewdirs"], ARCH["num_layers"]
+    )
+
+    settings = RenderSettings(
+        num_coarse=NUM_COARSE,
+        num_fine=NUM_FINE,
+        perturb=stochastic,
+        lindisp=False,
+        radiance_field_noise_std=0.2 if stochastic else 0.0,
+        white_background=False,
+        use_fine=True,
+        use_fused_kernel=False,  # CPU parity run; kernel parity is tested separately
+    )
+    opt = optax.adam(LR)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, o, d, t, key):
+        cb, fb = render_rays(
+            coarse, fine, p, o, d, NEAR, FAR, settings, train=True, key=key
+        )
+        return img2mse(cb.rgb_map, t) + img2mse(fb.rgb_map, t)
+
+    @jax.jit
+    def step(p, s, o, d, t, key):
+        loss, g = jax.value_and_grad(loss_fn)(p, o, d, t, key)
+        updates, s = opt.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses = []
+    base_key = jax.random.key(seed)
+    for i, (o, d, t) in enumerate(batches):
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t),
+            jax.random.fold_in(base_key, i),
+        )
+        losses.append(float(loss))
+
+    @jax.jit
+    def eval_chunk(p, o, d):
+        _, fb = render_rays(coarse, fine, p, o, d, NEAR, FAR, settings, train=False)
+        return fb.rgb_map
+
+    eo, ed, et = eval_set
+    mses = []
+    for i in range(0, ed.shape[0], 1024):
+        sl = slice(i, i + 1024)
+        rgb = eval_chunk(params, jnp.asarray(eo[sl]), jnp.asarray(ed[sl]))
+        mses.append(float(jnp.mean((rgb - jnp.asarray(et[sl])) ** 2)))
+    psnr = -10.0 * np.log10(np.mean(mses))
+    return losses, float(psnr)
+
+
+def main(num_steps: int = 500, rays_per_step: int = 256,
+         stochastic: bool = True, ref_seeds=(0,), our_seeds=(0,)) -> dict:
+    import numpy as np
+
+    batches, eval_set = make_batches(num_steps, rays_per_step)
+    ref_runs = []
+    ref_models_t = None
+    for s in ref_seeds:
+        models_t, losses, psnr = run_reference(
+            batches, eval_set, seed=s, stochastic=stochastic
+        )
+        if ref_models_t is None:
+            ref_models_t = models_t  # seed-0 init is the transplant source
+        ref_runs.append({"seed": s, "final_loss": losses[-1], "psnr": psnr,
+                         "losses": losses})
+        print(f"ref seed {s}: psnr {psnr:.2f} dB", flush=True)
+    our_runs = []
+    for s in our_seeds:
+        losses, psnr = run_rebuild(
+            batches, eval_set, ref_models_t, stochastic=stochastic, seed=s
+        )
+        our_runs.append({"seed": s, "final_loss": losses[-1], "psnr": psnr,
+                         "losses": losses})
+        print(f"ours seed {s}: psnr {psnr:.2f} dB", flush=True)
+
+    ref_l = np.asarray(ref_runs[0]["losses"])
+    our_l = np.asarray(our_runs[0]["losses"])
+    corr = float(np.corrcoef(np.log(ref_l + 1e-12), np.log(our_l + 1e-12))[0, 1])
+    summary = {
+        "steps": num_steps,
+        "rays_per_step": rays_per_step,
+        "stochastic": stochastic,
+        "ref_psnrs": [r["psnr"] for r in ref_runs],
+        "our_psnrs": [r["psnr"] for r in our_runs],
+        "psnr_delta_vs_ref_seed0": our_runs[0]["psnr"] - ref_runs[0]["psnr"],
+        "log_loss_corr": corr,
+        "ref_final_losses": [r["final_loss"] for r in ref_runs],
+        "our_final_losses": [r["final_loss"] for r in our_runs],
+    }
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--rays", type=int, default=256)
+    ap.add_argument("--deterministic", action="store_true",
+                    help="disable perturb + sigma noise (step-level numerics mode)")
+    ap.add_argument("--ref-seeds", type=int, nargs="+", default=[0])
+    ap.add_argument("--our-seeds", type=int, nargs="+", default=[0])
+    args = ap.parse_args()
+    main(args.steps, args.rays, stochastic=not args.deterministic,
+         ref_seeds=tuple(args.ref_seeds), our_seeds=tuple(args.our_seeds))

@@ -1,0 +1,190 @@
+"""Benchmark-scale quality run on the hard procedural scene (VERDICT r1
+item 2): train the reference's flagship lego workload — 2048 rays/step,
+64+128 samples, two 8x256 FlexibleNeRFs (config/nerf-synthetic-lego.yml:
+182-191) — at 800^2 on high-frequency SDF geometry, then:
+
+- report held-out PSNR + SSIM through the eval path,
+- extract the 480^3 mesh (the reference's README demo resolution,
+  README.md:97) and chamfer it against the scene's ANALYTIC surface
+  (points sampled by SDF Newton projection — an exact target no real
+  dataset offers).
+
+Runs on the attached TPU. Results -> quality_800.json (+ PNGs under
+quality_800_out/). BASELINE.md records the headline rows.
+
+Usage: python scripts/quality_800.py [--steps 20000] [--size 800]
+       [--train-images 20] [--lr 5e-4] [--mesh-res 480]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--train-images", type=int, default=20)
+    ap.add_argument("--val-images", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--mesh-res", type=int, default=480)
+    ap.add_argument("--gt-samples", type=int, default=512)
+    ap.add_argument("--out", default="quality_800.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfmeshes_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from nerfmeshes_tpu.config import get_default_cfg
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+    from nerfmeshes_tpu.data.synthetic import hard_sdf
+    from nerfmeshes_tpu.ops.math import ssim
+    from nerfmeshes_tpu.train.system import NeRFSystem
+
+    cfg = get_default_cfg()
+    cfg.experiment.compute_dtype = "bfloat16"
+    cfg.experiment.steps_per_call = 25
+    cfg.experiment.train_iters = args.steps
+    cfg.experiment.validate_every = 0  # validation driven manually below
+    cfg.experiment.print_every = 500
+    cfg.dataset.type = "synthetic"
+    cfg.dataset.scene = "hard"
+    cfg.nerf.train.perturb = True
+    cfg.optimizer.lr = args.lr  # shipped 5e-3 can collapse (BASELINE.md note)
+
+    t0 = time.time()
+    train_ds = SyntheticDataset(
+        cfg, DatasetType.TRAIN, num_images=args.train_images,
+        image_size=args.size, keep_on_device=True, gt_samples=args.gt_samples,
+    )
+    val_ds = SyntheticDataset(
+        cfg, DatasetType.VALIDATION, num_images=args.val_images,
+        image_size=args.size, keep_on_device=True, gt_samples=args.gt_samples,
+    )
+    jax.block_until_ready(train_ds.bundle.ray_targets)
+    gt_render_s = time.time() - t0
+    print(f"GT dataset rendered in {gt_render_s:.1f}s", flush=True)
+
+    system = NeRFSystem(cfg)
+    system.setup(train_ds, val_ds)
+
+    t0 = time.time()
+    metrics = system.fit()
+    train_s = time.time() - t0
+    rays_per_sec = args.steps * int(cfg.nerf.train.num_random_rays) / train_s
+    print(f"train: {train_s:.1f}s ({rays_per_sec:,.0f} rays/s)", flush=True)
+
+    # Held-out eval: PSNR + SSIM per val view through the render path.
+    out_dir = Path("quality_800_out")
+    out_dir.mkdir(exist_ok=True)
+    H, W, _ = val_ds.hwf
+    psnrs, ssims = [], []
+    t0 = time.time()
+    for i in range(len(val_ds)):
+        o, d = val_ds.image_rays(i)
+        rgb = system.query_rays(
+            o, d, cfg.dataset.near, cfg.dataset.far, fields=("rgb_map",)
+        ).rgb_map.reshape(int(H), int(W), 3)
+        target = np.asarray(val_ds.bundle.ray_targets[i])
+        mse = float(np.mean((rgb - target) ** 2))
+        psnrs.append(-10.0 * np.log10(mse))
+        ssims.append(float(ssim(jnp.asarray(rgb), jnp.asarray(target))))
+        try:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(
+                out_dir / f"val_{i}_render.png",
+                (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+            )
+            imageio.imwrite(
+                out_dir / f"val_{i}_target.png",
+                (np.clip(target, 0, 1) * 255).astype(np.uint8),
+            )
+        except Exception:
+            pass
+    eval_s = time.time() - t0
+    print(
+        f"eval: psnr={np.mean(psnrs):.2f}dB ssim={np.mean(ssims):.4f} "
+        f"({eval_s:.1f}s for {len(val_ds)} x {args.size}^2)",
+        flush=True,
+    )
+
+    # Mesh extraction at demo scale + chamfer against the analytic surface.
+    from nerfmeshes_tpu.mesh import MeshArgs, chamfer_distance, extract_geometry
+    from nerfmeshes_tpu.mesh.metrics import sample_points_from_mesh
+
+    t0 = time.time()
+    verts, faces, _, _ = extract_geometry(
+        system.sample_points,
+        MeshArgs(res=args.mesh_res, limit=1.2, iso_level=30.0),
+        density_fn=system.density_apply,
+        density_params=system.finest_params,
+    )
+    mesh_s = time.time() - t0
+    print(f"mesh {args.mesh_res}^3: {len(verts)} verts in {mesh_s:.1f}s", flush=True)
+
+    # Analytic surface points: uniform box samples Newton-projected onto
+    # the SDF zero set (5 iterations; |sdf| < 1e-3 kept).
+    @jax.jit
+    def project(key):
+        pts = jax.random.uniform(key, (131072, 3), minval=-1.2, maxval=1.2)
+        g = jax.grad(lambda p: jnp.sum(hard_sdf(p)))
+
+        def body(pts, _):
+            s = hard_sdf(pts)
+            grad = g(pts)
+            denom = jnp.maximum(jnp.sum(grad * grad, axis=-1, keepdims=True), 1e-8)
+            return pts - s[..., None] * grad / denom, None
+
+        pts, _ = jax.lax.scan(body, pts, None, length=5)
+        return pts, hard_sdf(pts)
+
+    pts, sdf = jax.device_get(project(jax.random.key(0)))
+    surf = pts[np.abs(sdf) < 1e-3]
+    rng = np.random.default_rng(0)
+    n_cmp = 20000
+    surf = surf[rng.choice(len(surf), size=n_cmp, replace=len(surf) < n_cmp)]
+    mesh_pts = sample_points_from_mesh(verts, faces, n_cmp)
+    # Raw world coordinates on both sides — no normalization: the scene
+    # and the grid share the frame, so chamfer is in scene units.
+    chamfer = chamfer_distance(surf, mesh_pts)
+    print(f"chamfer (squared, scene units): {chamfer:.3e}", flush=True)
+
+    result = {
+        "scene": "hard",
+        "size": args.size,
+        "steps": args.steps,
+        "lr": args.lr,
+        "train_s": train_s,
+        "train_rays_per_sec": rays_per_sec,
+        "gt_render_s": gt_render_s,
+        "final_train_metrics": {k: float(v) for k, v in metrics.items()},
+        "val_psnr_db": float(np.mean(psnrs)),
+        "val_psnr_per_image": [float(p) for p in psnrs],
+        "val_ssim": float(np.mean(ssims)),
+        "eval_s": eval_s,
+        "mesh_res": args.mesh_res,
+        "mesh_vertices": int(len(verts)),
+        "mesh_s": mesh_s,
+        "chamfer_sq": float(chamfer),
+        "chamfer_rms": float(np.sqrt(chamfer / 2.0)),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

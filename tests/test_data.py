@@ -366,3 +366,49 @@ def test_colmap_images_binary_ddq_format(tmp_path):
     back = read_images_binary(path)[7]
     np.testing.assert_array_equal(back.point3D_ids, ids)
     np.testing.assert_allclose(back.xys, xys)
+
+
+def test_hard_synthetic_scene():
+    """The high-frequency benchmark scene: crisp SDF geometry, textured
+    albedo, GT depth, and device-resident variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmeshes_tpu.data.synthetic import (
+        hard_albedo,
+        hard_sdf,
+        make_synthetic_dataset,
+    )
+
+    # SDF ground truths: sphere center is -radius deep; far corner is empty.
+    assert abs(float(hard_sdf(jnp.asarray([-0.45, 0.35, 0.25]))) + 0.28) < 1e-5
+    assert float(hard_sdf(jnp.asarray([2.0, 2.0, 2.0]))) > 0.5
+    # Torus ring point (x = R, y = 0): -r deep.
+    assert abs(float(hard_sdf(jnp.asarray([0.55, 0.0, 0.0]))) + 0.16) < 1e-5
+
+    # Texture actually varies at sub-0.1 scale.
+    p = jnp.linspace(0.0, 0.2, 32)[:, None] * jnp.ones((1, 3))
+    alb = np.asarray(hard_albedo(p))
+    assert alb.std() > 0.1
+
+    bundle = make_synthetic_dataset(
+        num_images=2, image_size=48, scene="hard", with_depth=True,
+        num_samples=128,
+    )
+    imgs = np.asarray(bundle.ray_targets)
+    assert imgs.shape == (2, 48, 48, 3)
+    # High-frequency content: neighboring-pixel differences are large
+    # compared to the smooth-blob scene.
+    grad = np.abs(np.diff(imgs, axis=2)).mean()
+    blobs = np.asarray(
+        make_synthetic_dataset(num_images=2, image_size=48).ray_targets
+    )
+    assert grad > 3 * np.abs(np.diff(blobs, axis=2)).mean()
+    # Depth: zero on empty rays, within [near, far] on surface rays.
+    depth = np.asarray(bundle.target_depth)
+    hit = depth > 0
+    assert hit.any() and (~hit).any()
+    assert depth[hit].min() > 2.0 and depth[hit].max() < 6.0
+
+    dev = make_synthetic_dataset(num_images=1, image_size=16, keep_on_device=True)
+    assert isinstance(dev.ray_targets, jax.Array)
