@@ -112,6 +112,8 @@ def run_reference(batches, eval_set, seed: int = 0, stochastic: bool = False):
 
     from refload import ref_model_helpers, ref_models, ref_modules
 
+    import copy
+
     torch.manual_seed(seed)
     m = ref_modules()
     models = ref_models()
@@ -119,6 +121,10 @@ def run_reference(batches, eval_set, seed: int = 0, stochastic: bool = False):
 
     coarse = models.FlexibleNeRFModel(**ARCH)
     fine = models.FlexibleNeRFModel(**ARCH)
+    # Snapshot the INITIAL weights — these are what run_rebuild transplants
+    # (returning the trained modules here once silently handed the rebuild a
+    # pre-trained start and inflated its PSNR by ~5 dB).
+    init_models = (copy.deepcopy(coarse), copy.deepcopy(fine))
     sampler = m.RaySampleInterval(NUM_COARSE)
     sample_pdf = m.SamplePDF(NUM_FINE)
     noise = 0.2 if stochastic else 0.0
@@ -175,7 +181,7 @@ def run_reference(batches, eval_set, seed: int = 0, stochastic: bool = False):
                 ).item()
             )
     psnr = -10.0 * np.log10(np.mean(mses))
-    return (coarse, fine), losses, float(psnr)
+    return init_models, losses, float(psnr)
 
 
 def run_rebuild(batches, eval_set, ref_torch_models, stochastic: bool = False,

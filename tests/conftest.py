@@ -29,6 +29,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute end-to-end runs (deselect with -m 'not slow')"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
