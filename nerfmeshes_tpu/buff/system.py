@@ -327,10 +327,12 @@ class BuFFSystem(NeRFSystem):
 
     # -- chord-cap observability ---------------------------------------------
     def _effective_max_chords(self) -> int:
+        from nerfmeshes_tpu.buff.tree import AUTO_CHORD_CAP
+
         configured = int(self.cfg.tree.get("max_chords_per_ray", 0))
         if configured > 0:
             return configured
-        return max(128, int(self.cfg.nerf.train.num_coarse))
+        return AUTO_CHORD_CAP
 
     def on_host_metrics(self, metrics: dict, step: int) -> None:
         dropped = float(metrics.get("train/dropped_chords", 0.0))
@@ -340,9 +342,13 @@ class BuFFSystem(NeRFSystem):
                 f"WARNING: BuFF chord cap binding at step {step}: "
                 f"{dropped:.0f} ray/voxel chords dropped this step "
                 f"(max_chords_per_ray={self._effective_max_chords()}); "
-                "the cap will auto-double at the next consolidation.",
+                "doubling the cap now.",
                 flush=True,
             )
+            # Grow immediately (one recompile, at most log2(capacity)
+            # times) — waiting for the next consolidation would drop
+            # geometry for thousands of steps.
+            self._grow_chord_cap()
 
     def setup_eval(self, val_dataset=None):
         if val_dataset is not None:

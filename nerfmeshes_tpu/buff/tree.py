@@ -34,6 +34,14 @@ import numpy as np
 _PAD_LO = 1e8
 _PAD_HI = 1e8 + 1.0
 
+# Auto chord-slot cap: compaction cost is linear in K ((R, V, K) one-hot —
+# the dominant tree-op buffer), and a ray crosses ~3*outer_count cells of
+# the shipped grids (~36 measured). 64 buys ~8% train throughput over the
+# old max(128, samples) default (probe_chord_cap.py: 156.8k vs 145.1k
+# rays/s) and the dropped-chord counter + immediate auto-doubling in
+# BuFFSystem keep deeper trees exact.
+AUTO_CHORD_CAP = 64
+
 
 @dataclass
 class Leaf:
@@ -216,7 +224,7 @@ def ray_voxel_intersect(
     reference's batch_ray_voxel_intersect (src/nerf/tree.py:215-343).
 
     The deterministic sampler compacts each ray's chords into
-    K = max_chords (default max(128, samples_count)) slots; a ray
+    K = max_chords (default AUTO_CHORD_CAP = 64) slots; a ray
     crossing more than K active voxels has chords beyond rank K dropped
     (first-V-index order). `dropped` counts those per ray (always 0 for
     the random sampler, which has no cap) so callers can observe the cap
@@ -291,7 +299,7 @@ def ray_voxel_intersect(
         # K-sized comparison contractions. The output is constructed in
         # depth order, so the reference's final sort disappears.
         V = mask.shape[-1]
-        K = min(V, max_chords if max_chords > 0 else max(128, samples_count))
+        K = min(V, max_chords if max_chords > 0 else AUTO_CHORD_CAP)
 
         dropped = jnp.maximum(n_hit - K, 0)
         valid = mask.astype(jnp.int32)

@@ -51,8 +51,9 @@ def get_default_cfg() -> CfgNode:
                 "max_voxel_count": 1536,
                 "step_size_integration_offset": 6000,
                 "step_size_tree": 6000,
-                # 0 = auto (max(128, samples)): chord-slot cap of the
-                # deterministic sampler; raise for very deep trees.
+                # 0 = auto (AUTO_CHORD_CAP = 64): chord-slot cap of the
+                # deterministic sampler. Compaction cost is linear in K;
+                # the dropped-chord counter auto-doubles it when it binds.
                 "max_chords_per_ray": 0,
             },
             "dataset": {
