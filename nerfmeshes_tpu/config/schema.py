@@ -73,6 +73,16 @@ def get_default_cfg() -> CfgNode:
                 # synthetic datasets only: "blobs" (smooth) | "hard"
                 # (crisp SDF geometry + high-frequency texture).
                 "scene": "blobs",
+                "synthetic": {
+                    "num_images": 8,
+                    "image_size": 32,
+                    # GT quadrature samples/ray (512+ for the hard scene).
+                    "gt_samples": 256,
+                    # keep rendered targets in HBM (skip the tunnel fetch;
+                    # right for big TPU runs, off for host-side tooling).
+                    "keep_on_device": False,
+                    "with_depth": False,
+                },
                 "caching": {
                     "use_caching": False,
                     "override_caching": False,

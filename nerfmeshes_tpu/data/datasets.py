@@ -220,14 +220,31 @@ class BlenderDataset(RayDataset):
 class SyntheticDataset(RayDataset):
     """Procedural analytic scene (tests/benchmarks; no files needed)."""
 
-    def __init__(self, cfg, type: DatasetType = DatasetType.TRAIN, num_images=8, image_size=32,
-                 with_depth: bool = False, keep_on_device: bool = False,
-                 gt_samples: int = 256):
-        self._num_images = num_images
-        self._image_size = image_size
-        self._with_depth = with_depth
-        self._keep_on_device = keep_on_device
-        self._gt_samples = gt_samples
+    def __init__(self, cfg, type: DatasetType = DatasetType.TRAIN, num_images=None,
+                 image_size=None, with_depth=None, keep_on_device=None,
+                 gt_samples=None):
+        # Explicit arguments win; otherwise cfg.dataset.synthetic.* so the
+        # CLI path (build_dataset) can train benchmark-scale procedural
+        # scenes from config alone.
+        syn = cfg.dataset.get("synthetic", {}) if hasattr(cfg.dataset, "get") else {}
+
+        def pick(arg, key, default):
+            if arg is not None:
+                return arg
+            try:
+                return syn[key]
+            except (KeyError, TypeError):
+                return default
+
+        self._num_images = int(pick(num_images, "num_images", 8))
+        self._image_size = int(pick(image_size, "image_size", 32))
+        self._with_depth = bool(pick(with_depth, "with_depth", False))
+        self._keep_on_device = bool(pick(keep_on_device, "keep_on_device", False))
+        self._gt_samples = int(pick(gt_samples, "gt_samples", 256))
+        if type != DatasetType.TRAIN:
+            # Hold out a couple of views for val/test at scale (the train
+            # count is the config's headline knob).
+            self._num_images = max(2, self._num_images // 4) if num_images is None else self._num_images
         super().__init__(cfg, type)
 
     def load_dataset(self) -> DataBundle:
