@@ -391,12 +391,14 @@ def export_marching_cubes(
     system,
     args: MeshArgs,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Full pipeline: geometry (with caching) + appearance + OBJ export
+    """Full pipeline: geometry (with caching) + appearance + mesh export
     (reference: src/mesh_nerf.py:131-201). `system` provides
     sample_points(points, dirs) and query_rays(origins, dirs, near, far).
+    A `.ply` mesh_name writes fast binary PLY; anything else writes the
+    reference-compatible ASCII OBJ.
 
     Returns (vertices, triangles, diffuse, normals)."""
-    from nerfmeshes_tpu.mesh.export import export_obj
+    from nerfmeshes_tpu.mesh.export import export_obj, export_ply_binary
 
     os.makedirs(args.save_dir, exist_ok=True)
     cache_path = Path(args.save_dir) / args.cache_name
@@ -455,7 +457,13 @@ def export_marching_cubes(
             diffuse = np.asarray(out.rgb_map)
 
     mesh_path = Path(args.save_dir) / args.mesh_name
-    export_obj(vertices, triangles, diffuse, normals, str(mesh_path))
+    if mesh_path.suffix.lower() == ".ply":
+        export_ply_binary(
+            vertices, triangles, colors=diffuse, normals=normals,
+            filename=str(mesh_path),
+        )
+    else:
+        export_obj(vertices, triangles, diffuse, normals, str(mesh_path))
     return vertices, triangles, diffuse, normals
 
 

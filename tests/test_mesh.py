@@ -308,3 +308,49 @@ def test_sparse_extract_empty_surface():
     sparse, iso = _sparse_density_extract(density_fn, 1.0, 32, 1000.0, tile=4096)
     v, t, n = marching_cubes(sparse, 1e9)  # iso far above all values
     assert v.shape == (0, 3) and t.shape == (0, 3)
+
+
+def test_export_ply_binary_roundtrip(tmp_path):
+    """Binary PLY fast path: header + structured payload parse back to
+    the exact mesh."""
+    import numpy as np
+
+    from nerfmeshes_tpu.mesh.export import export_ply_binary
+
+    rng = np.random.default_rng(0)
+    verts = rng.standard_normal((17, 3)).astype(np.float32)
+    tris = rng.integers(0, 17, (9, 3)).astype(np.int32)
+    colors = rng.uniform(0, 1, (17, 3)).astype(np.float32)
+    normals = rng.standard_normal((17, 3)).astype(np.float32)
+    path = tmp_path / "m.ply"
+    export_ply_binary(verts, tris, colors=colors, normals=normals, filename=str(path))
+
+    raw = path.read_bytes()
+    end = raw.index(b"end_header\n") + len(b"end_header\n")
+    header = raw[:end].decode().splitlines()
+    assert header[1] == "format binary_little_endian 1.0"
+    assert f"element vertex {len(verts)}" in header
+    assert f"element face {len(tris)}" in header
+
+    vdtype = np.dtype(
+        [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+         ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+         ("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    )
+    vdata = np.frombuffer(raw, dtype=vdtype, count=len(verts), offset=end)
+    np.testing.assert_allclose(
+        np.stack([vdata["x"], vdata["y"], vdata["z"]], -1), verts
+    )
+    np.testing.assert_allclose(
+        np.stack([vdata["nx"], vdata["ny"], vdata["nz"]], -1), normals
+    )
+    np.testing.assert_array_equal(
+        np.stack([vdata["red"], vdata["green"], vdata["blue"]], -1),
+        np.clip(colors * 255, 0, 255).astype(np.uint8),
+    )
+    fdtype = np.dtype([("count", "u1"), ("idx", "<i4", (3,))])
+    fdata = np.frombuffer(
+        raw, dtype=fdtype, count=len(tris), offset=end + len(verts) * vdtype.itemsize
+    )
+    assert (fdata["count"] == 3).all()
+    np.testing.assert_array_equal(fdata["idx"], tris)
