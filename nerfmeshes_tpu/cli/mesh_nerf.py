@@ -74,6 +74,16 @@ def main(argv=None) -> None:
         f"Extracted {len(vertices)} vertices / {len(triangles)} triangles "
         f"in {time.time() - t0:.1f}s -> {args.save_dir}/{args.mesh_name}"
     )
+    from nerfmeshes_tpu.mesh.extract import LAST_TIMINGS
+
+    if LAST_TIMINGS:
+        print(
+            "phases: "
+            + " ".join(
+                f"{k}={v:.1f}s" if k.endswith("_s") else f"{k}={int(v)}"
+                for k, v in LAST_TIMINGS.items()
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -429,6 +429,9 @@ def export_marching_cubes(
             np.savez(cache_path, vertices=vertices, triangles=triangles, normals=normals)
 
     # Appearance: cast along inverse surface normals (src/mesh_nerf.py:161-195).
+    import time as _time
+
+    _t0 = _time.time()
     targets, directions = vertices, -normals
     if args.no_view_dependence:
         diffuse = _query_diffuse_direct(system, targets, directions, args.batch_size)
@@ -456,6 +459,9 @@ def export_marching_cubes(
             )
             diffuse = np.asarray(out.rgb_map)
 
+    LAST_TIMINGS["appearance_s"] = _time.time() - _t0
+
+    _t0 = _time.time()
     mesh_path = Path(args.save_dir) / args.mesh_name
     if mesh_path.suffix.lower() == ".ply":
         export_ply_binary(
@@ -464,6 +470,7 @@ def export_marching_cubes(
         )
     else:
         export_obj(vertices, triangles, diffuse, normals, str(mesh_path))
+    LAST_TIMINGS["write_s"] = _time.time() - _t0
     return vertices, triangles, diffuse, normals
 
 
