@@ -385,15 +385,19 @@ class BuFFSystem(NeRFSystem):
             params, self.tree_state, o, d, near, far
         )
 
-    def query_rgb(self, origins, directions, near, far, chunk: int = 65536):
+    def query_rgb(self, origins, directions, near, far, chunk: int = 65536,
+                  as_uint8: bool = False):
         """Batched rgb-only query through the tree renderer (one program,
-        tree state passed per call so consolidation never goes stale)."""
+        tree state passed per call so consolidation never goes stale).
+        `as_uint8` fetches device-quantized uint8 (4x less tunnel traffic)."""
         import jax.numpy as jnp
         import numpy as np
 
         from nerfmeshes_tpu.train.step import chunk_rays_for_batched
 
         if getattr(self, "_render_rgb_buff", None) is None:
+            self._render_rgb_buff = {}
+        if as_uint8 not in self._render_rgb_buff:
             settings = RenderSettings.from_cfg(self.cfg, train=False)
             use_random = bool(self.cfg.tree.use_random_sampling)
             max_chords = int(self.cfg.tree.get("max_chords_per_ray", 0))
@@ -411,11 +415,16 @@ class BuFFSystem(NeRFSystem):
                     return bundle.rgb_map
 
                 out = jax.lax.map(body, (origins, directions))
-                return out.reshape(-1, out.shape[-1])
+                out = out.reshape(-1, out.shape[-1])
+                if as_uint8:
+                    out = jnp.round(
+                        jnp.clip(out, 0.0, 1.0) * 255.0
+                    ).astype(jnp.uint8)
+                return out
 
-            self._render_rgb_buff = render_rgb
+            self._render_rgb_buff[as_uint8] = render_rgb
         o, d, n = chunk_rays_for_batched(origins, directions, chunk)
-        out = self._render_rgb_buff(
+        out = self._render_rgb_buff[as_uint8](
             self.state.params, self.tree_state, jnp.asarray(o), jnp.asarray(d),
             float(near), float(far),
         )

@@ -345,14 +345,18 @@ def make_pose_rays(H: int, W: int, focal: float, *, use_ndc: bool = False,
     return pose_rays
 
 
-def make_render_rgb(cfg, coarse_model, fine_model):
+def make_render_rgb(cfg, coarse_model, fine_model, *, as_uint8: bool = False):
     """Batched rgb-only renderer: ONE jitted program lax.maps over
     pre-chunked rays and returns just the finest rgb map.
 
     For bulk host-driven queries (the mesh appearance pass renders ~1M
     rays), the per-chunk dispatch pattern of render_image pays an upload +
     dispatch round-trip per chunk through the TPU tunnel; here the host
-    uploads once, the device loops, and one fetch returns (R, 3)."""
+    uploads once, the device loops, and one fetch returns (R, 3).
+
+    `as_uint8` quantizes on device to uint8 — a 4x smaller fetch through
+    the ~20MB/s tunnel; right when the consumer quantizes anyway (mesh
+    vertex colors)."""
     settings = RenderSettings.from_cfg(cfg, train=False)
 
     @jax.jit
@@ -368,7 +372,10 @@ def make_render_rgb(cfg, coarse_model, fine_model):
             return b.rgb_map
 
         out = jax.lax.map(body, (origins, directions))
-        return out.reshape(-1, out.shape[-1])
+        out = out.reshape(-1, out.shape[-1])
+        if as_uint8:
+            out = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return out
 
     return render_rgb
 

@@ -134,17 +134,24 @@ class NeRFSystem:
         )
         return fine if fine is not None else coarse
 
-    def query_rgb(self, origins, directions, near, far, chunk: int = 65536):
+    def query_rgb(self, origins, directions, near, far, chunk: int = 65536,
+                  as_uint8: bool = False):
         """Bulk rgb-only ray query through ONE batched jitted program (see
         make_render_rgb) — the fast path for the mesh appearance pass:
         one upload, one dispatch, one fetch instead of a dispatch per
-        chunk."""
+        chunk. `as_uint8` fetches device-quantized uint8 (4x less tunnel
+        traffic)."""
         from nerfmeshes_tpu.train.step import chunk_rays_for_batched, make_render_rgb
 
-        if getattr(self, "_render_rgb", None) is None:
-            self._render_rgb = make_render_rgb(self.cfg, self.coarse, self.fine)
+        cache = getattr(self, "_render_rgb_fns", None)
+        if cache is None:
+            cache = self._render_rgb_fns = {}
+        if as_uint8 not in cache:
+            cache[as_uint8] = make_render_rgb(
+                self.cfg, self.coarse, self.fine, as_uint8=as_uint8
+            )
         o, d, n = chunk_rays_for_batched(origins, directions, chunk)
-        out = self._render_rgb(
+        out = cache[as_uint8](
             self.state.params, jnp.asarray(o), jnp.asarray(d),
             float(near), float(far),
         )

@@ -261,6 +261,21 @@ def test_depth_diagnostics_wired(tiny_cfg, tmp_path):
         assert b"Point Cloud" in blobs
 
 
+def test_query_rgb_uint8_matches_quantized_float(trained):
+    """Device-side uint8 quantization equals quantizing the float fetch."""
+    system, _, _, _ = trained
+    rng = np.random.default_rng(5)
+    d = rng.standard_normal((40, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.zeros((40, 3), np.float32)
+    f = system.query_rgb(o, d, 2.0, 6.0, chunk=16)
+    u = system.query_rgb(o, d, 2.0, 6.0, chunk=16, as_uint8=True)
+    assert u.dtype == np.uint8
+    expected = np.round(np.clip(f, 0, 1) * 255).astype(np.uint8)
+    # Float rounding at the .5 boundary may differ by 1 LSB.
+    assert np.abs(u.astype(int) - expected.astype(int)).max() <= 1
+
+
 def test_bfloat16_compute_dtype_trains(tiny_cfg, tmp_path):
     """--precision 16 path: bf16 compute trains to a finite decreasing
     loss (params/accum stay f32)."""
