@@ -263,7 +263,11 @@ def make_buff_train_step(
         carry, metrics = jax.lax.scan(
             lambda c, _: one_step(c, data), carry, None, length=steps_per_call
         )
-        return carry, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        out = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        # dropped_chords SUMS over the scanned steps (not last-step only):
+        # a cap that binds intermittently inside a call must still be seen.
+        out["train/dropped_chords"] = jnp.sum(metrics["train/dropped_chords"])
+        return carry, out
 
     if mesh is None:
         return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
@@ -321,6 +325,19 @@ class BuFFSystem(NeRFSystem):
         def train_fn(state, data):
             carry, metrics = buff_fn(BuffCarry(state, self.tree_state), data)
             self.tree_state = carry.tree
+            # Pipeline the dropped-chords counter to the host: start an async
+            # copy now, read the PREVIOUS call's value in on_step. Reading the
+            # fresh value would block on this call's whole computation; the
+            # previous one is already materialized, so the check is free and
+            # the cap grows within one steps_per_call window of a drop.
+            d = metrics["train/dropped_chords"]
+            try:
+                d.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._dropped_prev, self._dropped_cur = (
+                getattr(self, "_dropped_cur", None), d
+            )
             return carry.train, metrics
 
         self._train_fn = train_fn
@@ -335,20 +352,30 @@ class BuFFSystem(NeRFSystem):
         return AUTO_CHORD_CAP
 
     def on_host_metrics(self, metrics: dict, step: int) -> None:
-        dropped = float(metrics.get("train/dropped_chords", 0.0))
-        if dropped > 0:
-            self._dropped_seen = True
-            print(
-                f"WARNING: BuFF chord cap binding at step {step}: "
-                f"{dropped:.0f} ray/voxel chords dropped this step "
-                f"(max_chords_per_ray={self._effective_max_chords()}); "
-                "doubling the cap now.",
-                flush=True,
-            )
-            # Grow immediately (one recompile, at most log2(capacity)
-            # times) — waiting for the next consolidation would drop
-            # geometry for thousands of steps.
-            self._grow_chord_cap()
+        self._note_dropped(float(metrics.get("train/dropped_chords", 0.0)), step)
+
+    def _note_dropped(self, dropped: float, step: int) -> None:
+        """React to a nonzero dropped-chords counter: warn and double the
+        cap immediately (one recompile, at most log2(capacity) times) —
+        waiting for the next consolidation would drop geometry for
+        thousands of steps. Reached per call via the async counter
+        pipeline (on_step) and at print cadence (on_host_metrics); the
+        step guard keeps the two paths from double-doubling on the same
+        observation."""
+        if dropped <= 0:
+            return
+        if getattr(self, "_grew_at_step", None) == step:
+            return
+        self._dropped_seen = True
+        print(
+            f"WARNING: BuFF chord cap binding at step {step}: "
+            f"{dropped:.0f} ray/voxel chords dropped "
+            f"(max_chords_per_ray={self._effective_max_chords()}); "
+            "doubling the cap now.",
+            flush=True,
+        )
+        self._grew_at_step = step
+        self._grow_chord_cap()
 
     def setup_eval(self, val_dataset=None):
         if val_dataset is not None:
@@ -431,6 +458,12 @@ class BuFFSystem(NeRFSystem):
         return np.asarray(out)[:n]
 
     def on_step(self, step: int) -> None:
+        # Previous call's dropped-chords counter (already on host via the
+        # async copy started in train_fn — reading it does not stall the
+        # dispatch pipeline).
+        prev = getattr(self, "_dropped_prev", None)
+        if prev is not None:
+            self._note_dropped(float(prev), step)
         spc = int(self.cfg.experiment.steps_per_call)
         # Fire when a consolidation boundary fell inside this jitted call.
         boundary = self.tree.integration_offset + self.tree.step_size_tree
@@ -449,6 +482,9 @@ class BuFFSystem(NeRFSystem):
         jitted functions (one recompile; at most log2(capacity) times —
         the kernel clamps K to the voxel capacity)."""
         self._dropped_seen = False
+        # Counters produced under the old cap must not trigger a second
+        # doubling after this one.
+        self._dropped_prev = self._dropped_cur = None
         cur = self._effective_max_chords()
         if cur >= self.tree.capacity:
             return
@@ -459,6 +495,13 @@ class BuFFSystem(NeRFSystem):
             flush=True,
         )
         self.cfg.tree.max_chords_per_ray = new
+        if self.paths is not None:
+            # Persist the effective cap: a later eval/mesh session reloads
+            # this run's hparams.yaml and must see the grown cap, or trees
+            # deeper than the original cap silently lose chords at eval.
+            from nerfmeshes_tpu.config.paths import save_hparams
+
+            save_hparams(self.cfg, self.paths)
         self._build_train_fn()
         self._render_chunk = self._build_render_chunk()
         self._render_rgb_buff = None

@@ -230,8 +230,9 @@ def ray_voxel_intersect(
     the random sampler, which has no cap) so callers can observe the cap
     binding instead of losing geometry silently — BuFFSystem reports it
     as train/dropped_chords and auto-doubles the cap at consolidation.
-    K=128 covers ~3*outer_count crossings per depth level with margin for
-    the shipped configs (cost is linear in K).
+    The default K=64 covers the shipped configs (~36 measured crossings
+    at depth 4) and the auto-doubling absorbs deeper trees; cost is
+    linear in K.
     """
     R = dirs.shape[0]
     origins = jnp.broadcast_to(jnp.reshape(origins, (-1, 3)), (R, 3))

@@ -160,6 +160,10 @@ def _nerf_mode_defaults(train: bool) -> dict:
         d["sample_all_images"] = False
     else:
         d["num_samples"] = 1
+        # Pin the validation view draw to seed 0 (identical views at every
+        # validation) instead of redrawing per epoch — for benchmark runs
+        # that compare checkpoints on fixed views.
+        d["fixed_views"] = False
     return d
 
 

@@ -448,12 +448,21 @@ def export_marching_cubes(
             # One batched program: single upload/dispatch/fetch. Colors
             # come back device-quantized uint8 (the mesh writers quantize
             # to uint8 anyway) — a 4x smaller fetch through the tunnel.
+            # Probe the signature explicitly: a try/except TypeError around
+            # the render would swallow unrelated TypeErrors from inside
+            # query_rgb and silently re-run the whole expensive pass.
+            import inspect
+
             try:
+                has_uint8 = "as_uint8" in inspect.signature(query_rgb).parameters
+            except (TypeError, ValueError):
+                has_uint8 = False
+            if has_uint8:
                 diffuse = query_rgb(
                     origins, directions, 0.0, args.view_disparity_max_bound,
                     chunk=chunk, as_uint8=True,
                 ).astype(np.float32) / 255.0
-            except TypeError:  # systems without the as_uint8 knob
+            else:
                 diffuse = np.asarray(
                     query_rgb(
                         origins, directions, 0.0, args.view_disparity_max_bound,

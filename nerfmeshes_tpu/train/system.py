@@ -219,17 +219,26 @@ class NeRFSystem:
         return self.density_apply(self.finest_params, points)
 
     # -- validation -----------------------------------------------------------------
-    def validate(self, max_images: Optional[int] = None, log_images: bool = True) -> dict:
+    def validate(self, max_images: Optional[int] = None, log_images: bool = True,
+                 step: Optional[int] = None) -> dict:
         cfg_val = self.cfg.nerf.validation
         num = cfg_val.num_samples if max_images is None else max_images
         n_total = len(self.val_dataset)
+        cur_step = int(self.state.step) if step is None else int(step)
         if num == -1 or num is None:
             indices = range(n_total)
         else:
-            # Sampling WITH replacement mirrors the reference's val loader
-            # (RandomSampler(replacement=True, num_samples=...),
-            # src/models/model_base.py:139-142).
-            indices = np.random.default_rng(0).integers(0, n_total, size=max(1, min(num, n_total)))
+            # Sampling WITH replacement mirrors the reference's val loader,
+            # which redraws views every epoch (RandomSampler(replacement=True,
+            # num_samples=...), src/models/model_base.py:139-142): the draw is
+            # seeded by the current step — deterministic given the step,
+            # different across validation epochs, so val_loss (which ranks the
+            # top-3 checkpoints) never overfits to one frozen view set.
+            # nerf.validation.fixed_views pins seed 0 for benchmark runs that
+            # need identical views across checkpoints.
+            seed = 0 if bool(cfg_val.get("fixed_views", False)) else cur_step
+            indices = np.random.default_rng(seed).integers(0, n_total, size=max(1, min(num, n_total)))
+        self._last_val_indices = list(int(i) for i in indices)
 
         H, W, _ = self.val_dataset.hwf
         losses, fine_losses = [], []
@@ -266,7 +275,7 @@ class NeRFSystem:
                 fine_losses.append(fine_loss)
                 finest = fine
             if log_images and self.logger is not None:
-                step = int(self.state.step)
+                step = cur_step
                 self.logger.log_image(
                     f"validation/rgb_{'fine' if fine is not None else 'coarse'}/{i}",
                     finest.rgb_map.reshape(int(H), int(W), 3),
@@ -404,7 +413,7 @@ class NeRFSystem:
             if validate_every > 0 and (
                 step % validate_every < steps_per_call or step >= max_steps
             ):
-                val_metrics = self.validate()
+                val_metrics = self.validate(step=step)
                 last_metrics.update(val_metrics)
                 if self.logger is not None:
                     self.logger.log_scalars(val_metrics, step)

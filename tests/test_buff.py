@@ -467,3 +467,108 @@ def test_intersect_max_chords_knob(rays):
     )
     np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_d), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_d))
+
+
+def test_chord_cap_grows_within_one_call(tmp_path):
+    """The async per-call dropped-chords pipeline doubles the cap within
+    one steps_per_call window of a drop — independent of print cadence
+    and consolidation boundaries (both pushed out of reach here)."""
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+
+    cfg = small_cfg(
+        max_chords_per_ray=4,
+        step_size_integration_offset=100_000,
+        step_size_tree=100_000,
+    )
+    cfg.experiment.steps_per_call = 5
+    cfg.experiment.print_every = 100_000
+    cfg.experiment.train_iters = 15
+    cfg.experiment.validate_every = 0
+    cfg.nerf.train.num_random_rays = 64
+    cfg.nerf.train.num_coarse = 8
+    cfg.nerf.validation.num_coarse = 8
+    cfg.models.coarse.num_layers = 2
+    cfg.models.coarse.hidden_size = 16
+    cfg.dataset.type = "synthetic"
+    system = BuFFSystem(cfg)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=2, image_size=16),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=16),
+    )
+    assert system._effective_max_chords() == 4
+    # Call 1 drops (cap 4 binds on the 4^3 grid); its counter reaches the
+    # host asynchronously and call 2's on_step doubles the cap: 15 steps =
+    # 3 calls is ample.
+    system.fit()
+    assert system._effective_max_chords() >= 8
+
+
+def test_dropped_chords_sum_over_scan():
+    """multi_step reports the SUM of dropped chords across the scanned
+    steps, not the last step's value."""
+    import jax
+    from nerfmeshes_tpu.buff.system import BuffCarry, make_buff_train_step
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+    from nerfmeshes_tpu.train.optim import build_optimizer
+    from nerfmeshes_tpu.train.step import init_train_state
+    from nerfmeshes_tpu.train.system import create_models, init_params
+
+    cfg = small_cfg(max_chords_per_ray=2, step_size_integration_offset=0)
+    cfg.experiment.steps_per_call = 4
+    cfg.nerf.train.num_random_rays = 32
+    cfg.nerf.train.num_coarse = 8
+    cfg.models.coarse.num_layers = 2
+    cfg.models.coarse.hidden_size = 16
+    cfg.dataset.type = "synthetic"
+    ds = SyntheticDataset(cfg, DatasetType.TRAIN, num_images=2, image_size=8)
+    data = ds.device_arrays()
+    H, W, focal = ds.hwf
+    coarse, _ = create_models(cfg)
+    opt = build_optimizer(cfg)
+    params = init_params(cfg, coarse, None, jax.random.key(0))
+    state = init_train_state(params, opt, 0)
+    tree_state = TreeSampling(cfg).device_state()
+
+    fn = make_buff_train_step(
+        cfg, coarse, opt, H=int(H), W=int(W), focal=float(focal),
+        steps_per_call=4, donate=False,
+    )
+    _, metrics = fn(BuffCarry(state, tree_state), data)
+    total = float(metrics["train/dropped_chords"])
+    # Cap 2 on a 4^3 grid binds on essentially every ray every step: the
+    # 4-step sum must exceed any plausible single-step count (32 rays x
+    # <=~10 crossings) times 1 step... conservatively, just require more
+    # than one step's worth given per-step drops are bounded by R*V.
+    one_call = make_buff_train_step(
+        cfg, coarse, opt, H=int(H), W=int(W), focal=float(focal),
+        steps_per_call=1, donate=False,
+    )
+    _, m1 = one_call(BuffCarry(state, tree_state), data)
+    single = float(m1["train/dropped_chords"])
+    assert single > 0
+    assert total > 1.5 * single
+
+
+def test_grown_chord_cap_persisted_to_hparams(tmp_path):
+    """_grow_chord_cap re-saves hparams.yaml so a later eval-only session
+    (which reloads the run's config) sees the grown cap instead of
+    silently dropping chords at eval."""
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+    from nerfmeshes_tpu.config.paths import ExperimentPaths, load_hparams, save_hparams
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+
+    cfg = small_cfg(max_chords_per_ray=4)
+    cfg.dataset.type = "synthetic"
+    cfg.models.coarse.num_layers = 2
+    cfg.models.coarse.hidden_size = 16
+    cfg.nerf.train.num_coarse = 8
+    paths = ExperimentPaths(tmp_path).create()
+    save_hparams(cfg, paths)
+    system = BuFFSystem(cfg, paths)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=2, image_size=8),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=8),
+    )
+    system._grow_chord_cap()
+    assert int(load_hparams(str(tmp_path)).tree.max_chords_per_ray) == 8

@@ -295,3 +295,31 @@ def test_bfloat16_compute_dtype_trains(tiny_cfg, tmp_path):
     system.fit()
     last = system.validate(log_images=False)["validation/loss"]
     assert np.isfinite(last) and last < first
+
+
+def test_validation_views_redrawn_per_epoch(tiny_cfg):
+    """The per-epoch validation view draw changes with the step (matching
+    the reference's RandomSampler(replacement=True) redraw each epoch,
+    src/models/model_base.py:139-142) and pins to seed 0 under
+    nerf.validation.fixed_views."""
+    import copy
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.nerf.validation.num_samples = 3
+    system = NeRFSystem(cfg)
+    system.setup_eval(
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=8, image_size=8)
+    )
+    system.validate(log_images=False, step=0)
+    idx_a = system._last_val_indices
+    system.validate(log_images=False, step=5000)
+    idx_b = system._last_val_indices
+    assert idx_a != idx_b, "view draw must change across validation epochs"
+    system.validate(log_images=False, step=5000)
+    assert system._last_val_indices == idx_b, "draw must be deterministic per step"
+
+    cfg.nerf.validation.fixed_views = True
+    system.validate(log_images=False, step=0)
+    fixed_a = system._last_val_indices
+    system.validate(log_images=False, step=5000)
+    assert system._last_val_indices == fixed_a, "fixed_views must pin the draw"
