@@ -272,7 +272,7 @@ def make_buff_train_step(
     if mesh is None:
         return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     # Params/tree/data replicated; the ray axis exists only inside the
@@ -283,7 +283,7 @@ def make_buff_train_step(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
@@ -386,13 +386,13 @@ class BuFFSystem(NeRFSystem):
     def _build_render_chunk(self):
         # Validation/query path renders through the tree as well. The tree
         # state is passed per call (a jit-closure capture would go stale
-        # after consolidation).
+        # after consolidation). With a device mesh the chunk's ray axis is
+        # sharded (params + tree replicated) like make_render_chunk.
         settings = RenderSettings.from_cfg(self.cfg, train=False)
         use_random = bool(self.cfg.tree.use_random_sampling)
         max_chords = int(self.cfg.tree.get("max_chords_per_ray", 0))
 
-        @jax.jit
-        def render_chunk_with_tree(params, tree_state, origins, directions, near, far):
+        def body(params, tree_state, origins, directions, near, far):
             bundle, _, _, _ = buff_render_rays(
                 self.coarse,
                 params["coarse"],
@@ -407,6 +407,22 @@ class BuFFSystem(NeRFSystem):
                 max_chords=max_chords,
             )
             return bundle, None
+
+        from nerfmeshes_tpu.train.step import mesh_size
+
+        if mesh_size(self.mesh) > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            body = shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+
+        render_chunk_with_tree = jax.jit(body)
 
         return lambda params, o, d, near, far: render_chunk_with_tree(
             params, self.tree_state, o, d, near, far
@@ -429,8 +445,7 @@ class BuFFSystem(NeRFSystem):
             use_random = bool(self.cfg.tree.use_random_sampling)
             max_chords = int(self.cfg.tree.get("max_chords_per_ray", 0))
 
-            @jax.jit
-            def render_rgb(params, tree_state, origins, directions, near, far):
+            def loop_body(params, tree_state, origins, directions, near, far):
                 def body(od):
                     o, d = od
                     bundle, _, _, _ = buff_render_rays(
@@ -441,7 +456,26 @@ class BuFFSystem(NeRFSystem):
                     )
                     return bundle.rgb_map
 
-                out = jax.lax.map(body, (origins, directions))
+                return jax.lax.map(body, (origins, directions))
+
+            from nerfmeshes_tpu.train.step import mesh_size
+
+            if mesh_size(self.mesh) > 1:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                loop_body = shard_map(
+                    loop_body,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                              P(), P()),
+                    out_specs=P(None, DATA_AXIS),
+                    check_vma=False,
+                )
+
+            @jax.jit
+            def render_rgb(params, tree_state, origins, directions, near, far):
+                out = loop_body(params, tree_state, origins, directions, near, far)
                 out = out.reshape(-1, out.shape[-1])
                 if as_uint8:
                     out = jnp.round(
@@ -450,7 +484,7 @@ class BuFFSystem(NeRFSystem):
                 return out
 
             self._render_rgb_buff[as_uint8] = render_rgb
-        o, d, n = chunk_rays_for_batched(origins, directions, chunk)
+        o, d, n = chunk_rays_for_batched(origins, directions, self._chunk(chunk))
         out = self._render_rgb_buff[as_uint8](
             self.state.params, self.tree_state, jnp.asarray(o), jnp.asarray(d),
             float(near), float(far),
@@ -528,3 +562,9 @@ class BuFFSystem(NeRFSystem):
     def load_checkpoint_extra(self, extra: dict) -> None:
         if "tree" in extra:
             self.tree_state = self.tree.deserialize(extra["tree"])
+            if self.mesh is not None:
+                from nerfmeshes_tpu.parallel.mesh import replicated
+
+                self.tree_state = jax.device_put(
+                    self.tree_state, replicated(self.mesh)
+                )

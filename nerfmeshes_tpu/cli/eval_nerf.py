@@ -41,8 +41,11 @@ def main(argv=None) -> None:
 
     import jax.numpy as jnp
 
+    from nerfmeshes_tpu.parallel.mesh import default_mesh
+
     cfg, paths = resolve_paths(log_checkpoint=args.log_checkpoint)
-    system = build_system(cfg, paths)
+    # Shard the render over every visible chip (single device -> None).
+    system = build_system(cfg, paths, default_mesh())
     dataset = build_dataset(cfg, DatasetType.TEST)
     if args.synthesis_images:
         dataset.synthesis()

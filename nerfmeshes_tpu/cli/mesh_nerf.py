@@ -43,8 +43,11 @@ def main(argv=None) -> None:
     from nerfmeshes_tpu.mesh import MeshArgs, export_marching_cubes
     from nerfmeshes_tpu.train.factory import build_system
 
+    from nerfmeshes_tpu.parallel.mesh import default_mesh
+
     cfg, paths = resolve_paths(log_checkpoint=args.log_checkpoint)
-    system = build_system(cfg, paths)
+    # Shard grid eval + appearance over every visible chip (1 chip -> None).
+    system = build_system(cfg, paths, default_mesh())
     system.setup_eval()
     system.restore(
         step=None if args.checkpoint == "last" else int(args.checkpoint),

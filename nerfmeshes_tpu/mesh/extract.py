@@ -45,9 +45,15 @@ class MeshArgs:
     mesh_name: str = "mesh.obj"
 
 
+def _mesh_size(mesh) -> int:
+    from nerfmeshes_tpu.train.step import mesh_size
+
+    return mesh_size(mesh)
+
+
 def _grid_eval(
     sample_points_fn, limit: float, nums, *, channels: int, tile: int,
-    density_fn=None,
+    density_fn=None, mesh=None,
 ) -> np.ndarray:
     """Evaluate the field over the dense grid entirely on device.
 
@@ -55,18 +61,28 @@ def _grid_eval(
     lax.map over tiles, and a single host transfer returns the result —
     the reference's per-1024-point host loop (src/mesh_nerf.py:43) becomes
     1688 tunnel round-trips at 480^3 and took minutes; this takes seconds.
+
+    With a device `mesh`, each tile's point axis is sharded across it
+    (device d evaluates points [d*tile/n, (d+1)*tile/n) of every tile;
+    the gathered (n_tiles, tile) result is in exact flat-index order).
     """
     nx, ny, nz = nums
     n = nx * ny * nz
+    n_dev = _mesh_size(mesh)
+    tile = -(-tile // n_dev) * n_dev
     n_tiles = -(-n // tile)
+    local = tile // n_dev
     sx = 2.0 * limit / max(nx - 1, 1)
     sy = 2.0 * limit / max(ny - 1, 1)
     sz = 2.0 * limit / max(nz - 1, 1)
 
-    @jax.jit
-    def eval_all():
+    from nerfmeshes_tpu.parallel.mesh import DATA_AXIS
+
+    def eval_tiles():
+        shard = jax.lax.axis_index(DATA_AXIS) if n_dev > 1 else jnp.int32(0)
+
         def tile_fn(i):
-            idx = i * tile + jnp.arange(tile)
+            idx = i * tile + shard * local + jnp.arange(local)
             x = idx // (ny * nz)
             rem = idx % (ny * nz)
             y = rem // nz
@@ -90,6 +106,17 @@ def _grid_eval(
         # 480^3 (442MB f32); half precision is ample for iso-surfacing.
         return jax.lax.map(tile_fn, jnp.arange(n_tiles)).astype(jnp.float16)
 
+    if n_dev > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        eval_tiles = shard_map(
+            eval_tiles, mesh=mesh, in_specs=(),
+            out_specs=P(None, DATA_AXIS), check_vma=False,
+        )
+
+    eval_all = jax.jit(eval_tiles)
+
     import time
 
     t0 = time.time()
@@ -105,7 +132,7 @@ def _grid_eval(
 
 def extract_density(
     sample_points_fn, limit: float, nums, *, tile: int = 262144,
-    density_fn=None,
+    density_fn=None, mesh=None,
 ) -> np.ndarray:
     """Density-only grid (nx, ny, nz) — what geometry extraction needs;
     transfers 4x less than the full radiance grid. `density_fn`
@@ -115,7 +142,7 @@ def extract_density(
         nums = (nums,) * 3
     return _grid_eval(
         sample_points_fn, limit, tuple(nums), channels=1, tile=tile,
-        density_fn=density_fn,
+        density_fn=density_fn, mesh=mesh,
     )
 
 
@@ -125,6 +152,7 @@ def extract_radiance(
     nums,
     *,
     tile: int = 65536,
+    mesh=None,
 ) -> np.ndarray:
     """Full radiance grid -> (nx, ny, nz, 4) (API parity with the
     reference's extract_radiance, src/mesh_nerf.py:27-53; geometry paths
@@ -132,7 +160,9 @@ def extract_radiance(
     if isinstance(nums, int):
         nums = (nums,) * 3
     assert len(nums) == 3
-    return _grid_eval(sample_points_fn, limit, tuple(nums), channels=4, tile=tile)
+    return _grid_eval(
+        sample_points_fn, limit, tuple(nums), channels=4, tile=tile, mesh=mesh
+    )
 
 
 @dataclass
@@ -171,7 +201,7 @@ class SparseDensityGrid:
 
 def _sparse_density_extract(
     density_fn, limit: float, res: int, iso_level: float, *, tile: int = 262144,
-    density_params=None,
+    density_params=None, mesh=None,
 ) -> Tuple[SparseDensityGrid, float]:
     """Density grid via sparse block transfer -> (SparseDensityGrid, iso).
 
@@ -194,7 +224,10 @@ def _sparse_density_extract(
 
     B = res // 8
     n = res**3
+    n_dev = _mesh_size(mesh)
+    tile = -(-tile // n_dev) * n_dev
     n_tiles = -(-n // tile)
+    local = tile // n_dev
     scale = 2.0 * limit / max(res - 1, 1)
 
     # With density_params, density_fn is fn(params, pts) and the params
@@ -206,10 +239,17 @@ def _sparse_density_extract(
     else:
         density_call = density_fn
 
-    @jax.jit
-    def stage1(params):
+    from nerfmeshes_tpu.parallel.mesh import DATA_AXIS
+
+    def flat_eval(params):
+        """Per-device grid evaluation: device d computes points
+        [d*local, (d+1)*local) of every tile; the gathered (n_tiles,
+        tile) array is in exact flat-index order. Block stats/dilation
+        afterwards run on the gathered grid (tiny vs the eval cost)."""
+        shard = jax.lax.axis_index(DATA_AXIS) if n_dev > 1 else jnp.int32(0)
+
         def tile_fn(i):
-            idx = i * tile + jnp.arange(tile)
+            idx = i * tile + shard * local + jnp.arange(local)
             x = idx // (res * res)
             rem = idx % (res * res)
             pts = jnp.stack(
@@ -222,7 +262,20 @@ def _sparse_density_extract(
             )
             return density_call(params, pts)
 
-        flat = lax.map(tile_fn, jnp.arange(n_tiles)).reshape(-1)[:n]
+        return lax.map(tile_fn, jnp.arange(n_tiles))
+
+    if n_dev > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        flat_eval = shard_map(
+            flat_eval, mesh=mesh, in_specs=(P(),),
+            out_specs=P(None, DATA_AXIS), check_vma=False,
+        )
+
+    @jax.jit
+    def stage1(params):
+        flat = flat_eval(params).reshape(-1)[:n]
         sigma = flat.reshape(res, res, res).astype(jnp.float16)
         # Adaptive iso stats (extract_iso_level) on device: scalars only.
         s32 = flat
@@ -309,7 +362,8 @@ def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
 
 
 def extract_geometry(
-    sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None
+    sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(vertices in world coords, triangles, normals, density grid)
     (reference: src/mesh_nerf.py:68-92).
@@ -325,14 +379,15 @@ def extract_geometry(
     if density_fn is not None and args.res % 8 == 0 and args.res >= 32:
         density, iso_value = _sparse_density_extract(
             density_fn, args.limit, args.res, args.iso_level,
-            density_params=density_params,
+            density_params=density_params, mesh=mesh,
         )
     else:
         if density_fn is not None and density_params is not None:
             fn, p = density_fn, density_params
             density_fn = lambda pts: fn(p, pts)  # noqa: E731
         density = extract_density(
-            sample_points_fn, args.limit, args.res, density_fn=density_fn
+            sample_points_fn, args.limit, args.res, density_fn=density_fn,
+            mesh=mesh,
         )
         iso_value = extract_iso_level(density, args.iso_level)
     t0 = time.time()
@@ -344,7 +399,8 @@ def extract_geometry(
 
 
 def extract_geometry_with_super_sampling(
-    sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None
+    sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Axis-wise super-sampled extraction.
 
@@ -366,7 +422,8 @@ def extract_geometry_with_super_sampling(
         nums = [base, base, base]
         nums[axis] = dense
         density = extract_density(
-            sample_points_fn, args.limit, tuple(nums), density_fn=density_fn
+            sample_points_fn, args.limit, tuple(nums), density_fn=density_fn,
+            mesh=mesh,
         )
         # Average the super-sampled axis back to base resolution: sample i
         # covers fine indices [i*(s+1) - s/2, ...]; use strided mean.
@@ -414,7 +471,8 @@ def export_marching_cubes(
         vertices, triangles, normals = data["vertices"], data["triangles"], data["normals"]
     else:
         # Prefer the params-as-argument form so the compiled grid-eval
-        # program is shared across checkpoints.
+        # program is shared across checkpoints. The system's device mesh
+        # (if any) shards the grid evaluation across chips.
         if hasattr(system, "density_apply") and hasattr(system, "finest_params"):
             dkw = dict(
                 density_fn=system.density_apply,
@@ -422,6 +480,7 @@ def export_marching_cubes(
             )
         else:
             dkw = dict(density_fn=getattr(system, "density_points", None))
+        dkw["mesh"] = getattr(system, "mesh", None)
         vertices, triangles, normals, density = geometry_fn(
             system.sample_points, args, **dkw
         )

@@ -6,7 +6,7 @@ with replicated (tiny) MLP params. The mechanism is `shard_map` in
 train/step.py / buff/system.py: each device runs the full per-device step
 body on its own ray slice and gradients/metrics reduce via EXPLICIT
 `jax.lax.pmean` (BuFF additionally psums the voxel accumulators) —
-shard_map(check_rep=False) inserts nothing automatically, so any new
+shard_map(check_vma=False) inserts nothing automatically, so any new
 cross-device state in the step body needs its own collective. Multi-host
 would extend the same mesh over DCN.
 """
@@ -32,3 +32,14 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 def replicated(mesh: Mesh) -> NamedSharding:
     """Replicated placement (params/data before entering shard_map)."""
     return NamedSharding(mesh, P())
+
+
+def default_mesh(max_devices: Optional[int] = None) -> Optional[Mesh]:
+    """Mesh over all visible devices, or None on a single device — what
+    the CLIs use so eval/mesh extraction engage every chip by default."""
+    devices = jax.devices()
+    if max_devices:
+        devices = devices[: int(max_devices)]
+    if len(devices) <= 1:
+        return None
+    return create_mesh(devices)

@@ -268,7 +268,7 @@ def make_train_step(
     if mesh is None:
         return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     # Everything (params, data) is replicated; the ray axis materializes
@@ -279,7 +279,7 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
@@ -291,14 +291,32 @@ def _merge_img_pix_keys(k_img: jax.Array, k_pix: jax.Array) -> jax.Array:
     return jnp.stack([k_img, k_pix])
 
 
-def make_render_chunk(cfg, coarse_model, fine_model, *, train: bool = False):
+def mesh_size(mesh) -> int:
+    """Device count of a jax Mesh (1 for None)."""
+    return int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+
+
+def round_chunk(chunk: int, mesh) -> int:
+    """Smallest chunk >= `chunk` divisible by the mesh size (sharded
+    renderers split the ray axis evenly across devices)."""
+    n = mesh_size(mesh)
+    return max(n, -(-int(chunk) // n) * n)
+
+
+def make_render_chunk(cfg, coarse_model, fine_model, *, train: bool = False,
+                      mesh=None):
     """Jitted fixed-shape ray-slab renderer for validation / eval / mesh
     appearance. Call with identically-shaped chunks to avoid recompiles;
-    `render_image` below handles padding + assembly."""
+    `render_image` below handles padding + assembly.
+
+    With a device `mesh`, the chunk's ray axis is sharded across it via
+    shard_map (params replicated, per-ray output maps gathered back —
+    SURVEY §2.10/§5 "all_gather for eval tiles"): validation, the eval
+    CLI and the mesh appearance pass then use every chip instead of one.
+    Chunk sizes must be divisible by the mesh size (round_chunk)."""
     settings = RenderSettings.from_cfg(cfg, train=train)
 
-    @jax.jit
-    def render_chunk(params, origins, directions, near, far):
+    def body(params, origins, directions, near, far):
         coarse_bundle, fine_bundle = render_rays(
             coarse_model,
             fine_model,
@@ -312,7 +330,21 @@ def make_render_chunk(cfg, coarse_model, fine_model, *, train: bool = False):
         )
         return coarse_bundle, fine_bundle
 
-    return render_chunk
+    if mesh_size(mesh) > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        # Rays sharded over the data axis; every output leaf is per-ray
+        # (axis 0), so one P(DATA_AXIS) prefix gathers them all.
+        body = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+
+    return jax.jit(body)
 
 
 def make_pose_rays(H: int, W: int, focal: float, *, use_ndc: bool = False,
@@ -345,7 +377,8 @@ def make_pose_rays(H: int, W: int, focal: float, *, use_ndc: bool = False,
     return pose_rays
 
 
-def make_render_rgb(cfg, coarse_model, fine_model, *, as_uint8: bool = False):
+def make_render_rgb(cfg, coarse_model, fine_model, *, as_uint8: bool = False,
+                    mesh=None):
     """Batched rgb-only renderer: ONE jitted program lax.maps over
     pre-chunked rays and returns just the finest rgb map.
 
@@ -356,12 +389,15 @@ def make_render_rgb(cfg, coarse_model, fine_model, *, as_uint8: bool = False):
 
     `as_uint8` quantizes on device to uint8 — a 4x smaller fetch through
     the ~20MB/s tunnel; right when the consumer quantizes anyway (mesh
-    vertex colors)."""
+    vertex colors).
+
+    With a device `mesh`, the intra-chunk ray axis is sharded: each
+    device renders chunk/n rays of every chunk (chunk must divide by the
+    mesh size; chunk_rays_for_batched enforces it)."""
     settings = RenderSettings.from_cfg(cfg, train=False)
 
-    @jax.jit
-    def render_rgb(params, origins, directions, near, far):
-        # origins/directions: (C, chunk, 3)
+    def loop_body(params, origins, directions, near, far):
+        # origins/directions: (C, local_chunk, 3) per device
         def body(od):
             o, d = od
             coarse_b, fine_b = render_rays(
@@ -371,7 +407,23 @@ def make_render_rgb(cfg, coarse_model, fine_model, *, as_uint8: bool = False):
             b = fine_b if fine_b is not None else coarse_b
             return b.rgb_map
 
-        out = jax.lax.map(body, (origins, directions))
+        return jax.lax.map(body, (origins, directions))  # (C, local, 3)
+
+    if mesh_size(mesh) > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        loop_body = shard_map(
+            loop_body,
+            mesh=mesh,
+            in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P(), P()),
+            out_specs=P(None, DATA_AXIS),
+            check_vma=False,
+        )
+
+    @jax.jit
+    def render_rgb(params, origins, directions, near, far):
+        out = loop_body(params, origins, directions, near, far)
         out = out.reshape(-1, out.shape[-1])
         if as_uint8:
             out = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)

@@ -26,7 +26,9 @@ from nerfmeshes_tpu.train.step import (
     init_train_state,
     make_render_chunk,
     make_train_step,
+    mesh_size,
     render_image,
+    round_chunk,
 )
 from nerfmeshes_tpu.utils.logging import MetricsLogger
 
@@ -103,7 +105,9 @@ class NeRFSystem:
             mesh=self.mesh,
             intrinsics=self.train_dataset.intrinsics(),
         )
-        self._render_chunk = make_render_chunk(self.cfg, self.coarse, self.fine)
+        self._render_chunk = make_render_chunk(
+            self.cfg, self.coarse, self.fine, mesh=self.mesh
+        )
         return self
 
     def setup_eval(self, val_dataset=None):
@@ -111,8 +115,15 @@ class NeRFSystem:
         function, just the jitted chunk renderer."""
         if val_dataset is not None:
             self.val_dataset = val_dataset
-        self._render_chunk = make_render_chunk(self.cfg, self.coarse, self.fine)
+        self._render_chunk = make_render_chunk(
+            self.cfg, self.coarse, self.fine, mesh=self.mesh
+        )
         return self
+
+    def _chunk(self, chunk) -> int:
+        """Chunk size rounded up to the render mesh size (sharded render
+        chunks split the ray axis evenly over the devices)."""
+        return round_chunk(int(chunk), self.mesh)
 
     # -- queries ------------------------------------------------------------------
     def query_rays(self, origins, directions, near, far, chunk: Optional[int] = None,
@@ -121,7 +132,7 @@ class NeRFSystem:
         analog of NeRFModel.query (src/models/model_nerf.py:80-86).
         `fields` limits which maps are fetched to the host (see
         render_image) — ask for ("rgb_map",) unless you need more."""
-        chunk = chunk or int(self.cfg.nerf.validation.chunksize)
+        chunk = self._chunk(chunk or self.cfg.nerf.validation.chunksize)
         coarse, fine = render_image(
             self._render_chunk,
             self.state.params,
@@ -148,9 +159,10 @@ class NeRFSystem:
             cache = self._render_rgb_fns = {}
         if as_uint8 not in cache:
             cache[as_uint8] = make_render_rgb(
-                self.cfg, self.coarse, self.fine, as_uint8=as_uint8
+                self.cfg, self.coarse, self.fine, as_uint8=as_uint8,
+                mesh=self.mesh,
             )
-        o, d, n = chunk_rays_for_batched(origins, directions, chunk)
+        o, d, n = chunk_rays_for_batched(origins, directions, self._chunk(chunk))
         out = cache[as_uint8](
             self.state.params, jnp.asarray(o), jnp.asarray(d),
             float(near), float(far),
@@ -258,7 +270,7 @@ class NeRFSystem:
                 directions,
                 float(near),
                 float(far),
-                chunk_size=int(cfg_val.chunksize),
+                chunk_size=self._chunk(cfg_val.chunksize),
                 # Per-ray maps only: the (R, S) weights are ~16x larger
                 # and unused here — skipping their host transfer is the
                 # difference between seconds and minutes per 800^2 image
@@ -349,6 +361,7 @@ class NeRFSystem:
             MeshArgs(res=64, limit=1.2, iso_level=32),
             density_fn=self.density_apply,
             density_params=self.finest_params,
+            mesh=self.mesh,
         )
         if len(faces) == 0:
             return None
@@ -458,7 +471,9 @@ class NeRFSystem:
             d,
             float(near),
             float(far),
-            chunk_size=min(int(self.cfg.nerf.validation.chunksize), d.shape[0]),
+            chunk_size=self._chunk(
+                min(int(self.cfg.nerf.validation.chunksize), d.shape[0])
+            ),
             fields=("depth_map",),
         )
         finest = fine if fine is not None else coarse
@@ -502,6 +517,14 @@ class NeRFSystem:
         self.state, extra = self.ckpt.restore(
             self.state, step=step, last=last, extra_template=self.checkpoint_extra() or None
         )
+        if self.mesh is not None:
+            # Restored arrays come back committed to one device; the
+            # sharded train/render programs need them replicated over the
+            # mesh (a committed single-device placement is a hard error
+            # under shard_map, not a silent transfer).
+            from nerfmeshes_tpu.parallel.mesh import replicated
+
+            self.state = jax.device_put(self.state, replicated(self.mesh))
         self.load_checkpoint_extra(extra)
         return self
 

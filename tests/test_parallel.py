@@ -144,7 +144,7 @@ def test_integrate_psum_matches_global_batch():
     the full batch on one device."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from nerfmeshes_tpu.buff.tree import TreeState, integrate
@@ -171,7 +171,7 @@ def test_integrate_psum_matches_global_batch():
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(sharded)(state, vox, w, mw, rmask)
     np.testing.assert_allclose(
