@@ -42,6 +42,15 @@ _PAD_HI = 1e8 + 1.0
 # BuFFSystem keep deeper trees exact.
 AUTO_CHORD_CAP = 64
 
+# Voxel-slab bound on compaction/integration workspace: the monolithic
+# (R, V, K) chord one-hot and the (R*S, V) integration one-hot scale
+# linearly in V and wedge the compiler near V=8192 (~13GB of fusion
+# workspace — BASELINE.md's documented wall). Above this V the device ops
+# scan over V-slabs of this size, bounding every intermediate at
+# R x _SLAB_V x K / (R*S) x _SLAB_V while computing the identical result
+# (tests pin slab == monolithic exactly).
+_SLAB_V = 2048
+
 
 @dataclass
 class Leaf:
@@ -238,25 +247,8 @@ def ray_voxel_intersect(
     origins = jnp.broadcast_to(jnp.reshape(origins, (-1, 3)), (R, 3))
 
     inv_d = 1.0 / dirs  # (R, 3); +-inf on zero components is fine for slabs
-    lo = voxels[:, 0, :]  # (V, 3)
-    hi = voxels[:, 1, :]
-
-    # Entry/exit per axis with sign-aware bound selection.
-    t_lo = (lo[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]  # (R,V,3)
-    t_hi = (hi[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]
     neg = inv_d < 0.0  # (R, 3)
-    tvmin = jnp.where(neg[:, None, :], t_hi, t_lo)
-    tvmax = jnp.where(neg[:, None, :], t_lo, t_hi)
 
-    # Axis-pair overlap tests in the reference's exact order (x-y, then z).
-    mask = (tvmin[..., 0] <= tvmax[..., 1]) & (tvmin[..., 1] <= tvmax[..., 0])
-    tmin = jnp.maximum(tvmin[..., 0], tvmin[..., 1])
-    tmax = jnp.minimum(tvmax[..., 0], tvmax[..., 1])
-    mask = mask & (tmin <= tvmax[..., 2]) & (tvmin[..., 2] <= tmax)
-    tmin = jnp.maximum(tmin, tvmin[..., 2])
-    tmax = jnp.minimum(tmax, tvmax[..., 2])
-
-    # Whole chord must lie within [near, far] (reference: tree.py:264-268).
     # near/far may be scalars or per-ray (R,) (COLMAP per-image bounds):
     # add the voxel axis so they broadcast against (R, V).
     near = jnp.asarray(near)
@@ -265,10 +257,17 @@ def ray_voxel_intersect(
         near = near[:, None]
     if far.ndim > 0:
         far = far[:, None]
-    mask = mask & (tmin >= near) & (tmax <= far) & active[None, :]
-    n_hit = jnp.sum(mask, axis=-1)  # (R,) chords per ray
-    ray_mask = n_hit > 0
-    dropped = jnp.zeros_like(n_hit)
+
+    V_total = voxels.shape[0]
+    use_slabs = (not use_random_sampling) and V_total > _SLAB_V
+
+    if not use_slabs:
+        mask, tmin, tmax = _slab_test(
+            voxels, active, origins, inv_d, neg, near, far
+        )
+        n_hit = jnp.sum(mask, axis=-1)  # (R,) chords per ray
+        ray_mask = n_hit > 0
+    dropped = jnp.zeros((R,), jnp.int32)
 
     if use_random_sampling:
         if key is None:
@@ -299,27 +298,38 @@ def ray_voxel_intersect(
         # and the linspace-over-total-length inverse mapping is built with
         # K-sized comparison contractions. The output is constructed in
         # depth order, so the reference's final sort disappears.
-        V = mask.shape[-1]
+        V = V_total
         K = min(V, max_chords if max_chords > 0 else AUTO_CHORD_CAP)
+        big = jnp.asarray(2.0 * _PAD_HI, jnp.float32)
 
+        if use_slabs:
+            # V beyond the workspace bound: scan over _SLAB_V-voxel slabs,
+            # compacting each slab to <=K chords and appending into a
+            # running first-K-by-V-index buffer — identical output to the
+            # monolithic path with every intermediate bounded at
+            # R x _SLAB_V x K (the V=8192 compile wall, BASELINE.md).
+            lo_k, hi_k, ids_k, n_hit = _chords_by_slab(
+                voxels, active, origins, inv_d, neg, near, far, K
+            )
+            ray_mask = n_hit > 0
+        else:
+            valid = mask.astype(jnp.int32)
+            rank = jnp.cumsum(valid, axis=-1) - 1  # slot in first-V-index order
+            slots = jnp.where(mask, rank, K)  # invalid -> dropped slot K
+            onehot = jax.nn.one_hot(slots, K + 1, dtype=jnp.float32)[..., :K]  # (R,V,K)
+            # Compact (invalid slots get lo=hi=big: zero length, sorts to the end).
+            lo_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmin, 0.0), onehot)
+            hi_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmax, 0.0), onehot)
+            ids_k = jnp.einsum(
+                "rv,rvk->rk",
+                jnp.where(mask, jnp.arange(V, dtype=jnp.float32)[None, :], 0.0),
+                onehot,
+            )
+            n_valid = jnp.sum(valid, axis=-1, keepdims=True)  # (R,1)
+            in_use = jnp.arange(K)[None, :] < n_valid
+            lo_k = jnp.where(in_use, lo_k, big)
+            hi_k = jnp.where(in_use, hi_k, big)
         dropped = jnp.maximum(n_hit - K, 0)
-        valid = mask.astype(jnp.int32)
-        rank = jnp.cumsum(valid, axis=-1) - 1  # slot in first-V-index order
-        slots = jnp.where(mask, rank, K)  # invalid -> dropped slot K
-        onehot = jax.nn.one_hot(slots, K + 1, dtype=jnp.float32)[..., :K]  # (R,V,K)
-        big = jnp.asarray(2.0 * _PAD_HI, tmin.dtype)
-        # Compact (invalid slots get lo=hi=big: zero length, sorts to the end).
-        lo_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmin, 0.0), onehot)
-        hi_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmax, 0.0), onehot)
-        ids_k = jnp.einsum(
-            "rv,rvk->rk",
-            jnp.where(mask, jnp.arange(V, dtype=jnp.float32)[None, :], 0.0),
-            onehot,
-        )
-        n_valid = jnp.sum(valid, axis=-1, keepdims=True)  # (R,1)
-        in_use = jnp.arange(K)[None, :] < n_valid
-        lo_k = jnp.where(in_use, lo_k, big)
-        hi_k = jnp.where(in_use, hi_k, big)
 
         # Depth-sort the K compacted chords (voxels are disjoint, so tmin
         # order == chord order along the ray).
@@ -345,6 +355,104 @@ def ray_voxel_intersect(
         # depth-sorted chords) — no final sort.
 
     return z_vals, voxel_idx, ray_mask, dropped
+
+
+def _slab_test(voxels, active, origins, inv_d, neg, near, far):
+    """Vectorized slab-method ray/AABB test over one voxel set.
+
+    voxels (V,2,3), active (V,), origins/inv_d/neg (R,3), near/far scalar
+    or (R,1). Returns (mask, tmin, tmax) each (R, V). Axis-pair overlap
+    tests run in the reference's exact order (x-y, then z;
+    src/nerf/tree.py:242-268)."""
+    lo = voxels[:, 0, :]  # (V, 3)
+    hi = voxels[:, 1, :]
+
+    # Entry/exit per axis with sign-aware bound selection.
+    t_lo = (lo[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]  # (R,V,3)
+    t_hi = (hi[None, :, :] - origins[:, None, :]) * inv_d[:, None, :]
+    tvmin = jnp.where(neg[:, None, :], t_hi, t_lo)
+    tvmax = jnp.where(neg[:, None, :], t_lo, t_hi)
+
+    mask = (tvmin[..., 0] <= tvmax[..., 1]) & (tvmin[..., 1] <= tvmax[..., 0])
+    tmin = jnp.maximum(tvmin[..., 0], tvmin[..., 1])
+    tmax = jnp.minimum(tvmax[..., 0], tvmax[..., 1])
+    mask = mask & (tmin <= tvmax[..., 2]) & (tvmin[..., 2] <= tmax)
+    tmin = jnp.maximum(tmin, tvmin[..., 2])
+    tmax = jnp.minimum(tmax, tvmax[..., 2])
+
+    # Whole chord must lie within [near, far] (reference: tree.py:264-268).
+    mask = mask & (tmin >= near) & (tmax <= far) & active[None, :]
+    return mask, tmin, tmax
+
+
+def _chords_by_slab(voxels, active, origins, inv_d, neg, near, far, K):
+    """Chord compaction scanned over _SLAB_V-voxel slabs.
+
+    Equivalent to the monolithic rank/one-hot compaction (first K chords
+    in V-index order, empty slots filled with `big` = 2*_PAD_HI), but no
+    intermediate ever exceeds R x _SLAB_V x K: each scan step slab-tests
+    one voxel slab, compacts its valid chords into <=K V-ordered slots,
+    and appends them into the running per-ray buffer at offset n_prev via
+    a (R, K, K) one-hot shift. Chords past rank K within a slab are
+    globally past rank K too (>=K same-slab chords precede them), so the
+    per-slab clamp loses nothing the monolithic cap keeps.
+
+    Returns (lo_k, hi_k, ids_k, n_hit): (R, K) buffers + total chord
+    count per ray (including dropped ones — callers derive `dropped`)."""
+    R = inv_d.shape[0]
+    V = voxels.shape[0]
+    n_slabs = -(-V // _SLAB_V)
+    pad = n_slabs * _SLAB_V - V
+    if pad:
+        pad_box = jnp.stack(
+            [jnp.full((3,), _PAD_LO, voxels.dtype), jnp.full((3,), _PAD_HI, voxels.dtype)]
+        )
+        voxels = jnp.concatenate([voxels, jnp.tile(pad_box, (pad, 1, 1))])
+        active = jnp.concatenate([active, jnp.zeros((pad,), active.dtype)])
+    voxels_s = voxels.reshape(n_slabs, _SLAB_V, 2, 3)
+    active_s = active.reshape(n_slabs, _SLAB_V)
+    bases = (jnp.arange(n_slabs) * _SLAB_V).astype(jnp.float32)
+
+    big = jnp.asarray(2.0 * _PAD_HI, jnp.float32)
+    j = jnp.arange(K)[None, :]  # (1, K)
+
+    def body(carry, xs):
+        lo_buf, hi_buf, ids_buf, n_prev, n_hit = carry
+        vox, act, base = xs
+        mask, tmin, tmax = _slab_test(vox, act, origins, inv_d, neg, near, far)
+        valid = mask.astype(jnp.int32)
+        rank = jnp.cumsum(valid, axis=-1) - 1
+        slots = jnp.where(mask, rank, K)
+        onehot = jax.nn.one_hot(slots, K + 1, dtype=jnp.float32)[..., :K]
+        lo_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmin, 0.0), onehot)
+        hi_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmax, 0.0), onehot)
+        ids = base + jnp.arange(_SLAB_V, dtype=jnp.float32)[None, :]
+        ids_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, ids, 0.0), onehot)
+        cnt_all = jnp.sum(valid, axis=-1)  # (R,) incl. beyond-K
+        cnt = jnp.minimum(cnt_all, K)
+
+        # Append the slab's V-ordered chords at offset n_prev (drop past K).
+        tgt = n_prev[:, None] + j  # (R, K)
+        keep = (j < cnt[:, None]) & (tgt < K)
+        oh = jax.nn.one_hot(jnp.where(keep, tgt, K), K + 1, dtype=jnp.float32)[..., :K]
+        cov = jnp.sum(oh, axis=1)  # (R, K) 1 where this slab wrote
+        lo_buf = jnp.where(cov > 0, jnp.einsum("rjk,rj->rk", oh, lo_k), lo_buf)
+        hi_buf = jnp.where(cov > 0, jnp.einsum("rjk,rj->rk", oh, hi_k), hi_buf)
+        ids_buf = jnp.where(cov > 0, jnp.einsum("rjk,rj->rk", oh, ids_k), ids_buf)
+        n_prev = jnp.minimum(n_prev + cnt, K)
+        return (lo_buf, hi_buf, ids_buf, n_prev, n_hit + cnt_all), None
+
+    init = (
+        jnp.full((R, K), big),
+        jnp.full((R, K), big),
+        jnp.zeros((R, K)),
+        jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,), jnp.int32),
+    )
+    (lo_buf, hi_buf, ids_buf, _, n_hit), _ = jax.lax.scan(
+        body, init, (voxels_s, active_s, bases)
+    )
+    return lo_buf, hi_buf, ids_buf, n_hit
 
 
 def _searchsorted_left(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
@@ -382,9 +490,30 @@ def integrate(
     rm = ray_mask[:, None].astype(weights.dtype)
     # One-hot contraction instead of segment_sum: TPU scatter-add over 393k
     # elements is the slow path; the (R*S, V) masked reduce rides the MXU.
-    onehot = jax.nn.one_hot(voxel_idx.reshape(-1), V, dtype=weights.dtype)
-    acc = jnp.einsum("nv,n->v", onehot, (weights * rm).reshape(-1))
-    freq = jnp.einsum("nv,n->v", onehot, (mask_weights * rm).reshape(-1))
+    flat_idx = voxel_idx.reshape(-1)
+    w = (weights * rm).reshape(-1)
+    f = (mask_weights * rm).reshape(-1)
+    if V <= _SLAB_V:
+        onehot = jax.nn.one_hot(flat_idx, V, dtype=weights.dtype)
+        acc = jnp.einsum("nv,n->v", onehot, w)
+        freq = jnp.einsum("nv,n->v", onehot, f)
+    else:
+        # Bound the (R*S, V) one-hot workspace at _SLAB_V per scan step
+        # (out-of-slab indices one-hot to a zero row) — same result, no
+        # V=8192 compile wedge (see _SLAB_V).
+        n_slabs = -(-V // _SLAB_V)
+
+        def body(_, s):
+            oh = jax.nn.one_hot(
+                flat_idx - s * _SLAB_V, _SLAB_V, dtype=weights.dtype
+            )
+            return None, (
+                jnp.einsum("nv,n->v", oh, w), jnp.einsum("nv,n->v", oh, f)
+            )
+
+        _, (accs, freqs) = jax.lax.scan(body, None, jnp.arange(n_slabs))
+        acc = accs.reshape(-1)[:V]
+        freq = freqs.reshape(-1)[:V]
     if axis_name is not None:
         acc = jax.lax.psum(acc, axis_name)
         freq = jax.lax.psum(freq, axis_name)

@@ -572,3 +572,112 @@ def test_grown_chord_cap_persisted_to_hparams(tmp_path):
     )
     system._grow_chord_cap()
     assert int(load_hparams(str(tmp_path)).tree.max_chords_per_ray) == 8
+
+
+def _strided_state(stride: int, total: int):
+    """The 1728-voxel root grid scattered at `stride` across a `total`-row
+    array (rows in between are inactive pad boxes) — real voxels land in
+    every _SLAB_V slab, so compaction must merge across slab boundaries."""
+    from nerfmeshes_tpu.buff.tree import TreeState, _PAD_LO, _PAD_HI
+
+    base = TreeSampling(small_cfg()).device_state()
+    V_real = int(np.asarray(base.active).sum())
+    positions = np.arange(V_real) * stride
+    assert positions[-1] < total
+    voxels = np.zeros((total, 2, 3), np.float32)
+    voxels[:, 0, :] = _PAD_LO
+    voxels[:, 1, :] = _PAD_HI
+    active = np.zeros((total,), bool)
+    voxels[positions] = np.asarray(base.voxels)[:V_real]
+    active[positions] = True
+    big_state = TreeState(
+        voxels=jnp.asarray(voxels),
+        active=jnp.asarray(active),
+        memm=jnp.zeros(total, jnp.float32),
+        counter=jnp.asarray(1, jnp.int32),
+    )
+    return base, big_state, positions, V_real
+
+
+def test_slab_compaction_matches_monolithic(rays):
+    """V > _SLAB_V engages the slab-scan compaction; its chords/samples
+    must equal the monolithic path's on the same geometry (real voxels
+    spread across all slabs; ids mapped through the placement)."""
+    base, big_state, positions, V_real = _strided_state(stride=2, total=4096)
+    origins, dirs = rays
+    args_small = (base.voxels[:2048], base.active[:2048])
+    args_big = (big_state.voxels, big_state.active)
+
+    for K in (0, 8):  # default cap and a binding cap
+        z_s, idx_s, m_s, d_s = ray_voxel_intersect(
+            *args_small, jnp.asarray(origins), jnp.asarray(dirs), 2.0, 6.0,
+            samples_count=16, max_chords=K,
+        )
+        z_b, idx_b, m_b, d_b = ray_voxel_intersect(
+            *args_big, jnp.asarray(origins), jnp.asarray(dirs), 2.0, 6.0,
+            samples_count=16, max_chords=K,
+        )
+        np.testing.assert_allclose(np.asarray(z_b), np.asarray(z_s), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m_b), np.asarray(m_s))
+        np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_s))
+        # idx through the placement map (only where a chord was sampled).
+        mapped = positions[np.asarray(idx_s)]
+        got = np.asarray(idx_b)
+        sel = np.asarray(m_s)
+        np.testing.assert_array_equal(got[sel], mapped[sel])
+
+
+def test_slab_compaction_per_ray_bounds(rays):
+    """Per-ray near/far thread through the slab path identically."""
+    base, big_state, positions, V_real = _strided_state(stride=2, total=4096)
+    origins, dirs = rays
+    R = dirs.shape[0]
+    rng = np.random.default_rng(11)
+    near = (2.0 + rng.uniform(0, 0.5, R)).astype(np.float32)
+    far = (5.0 + rng.uniform(0, 0.8, R)).astype(np.float32)
+    z_s, idx_s, m_s, _ = ray_voxel_intersect(
+        base.voxels[:2048], base.active[:2048], jnp.asarray(origins),
+        jnp.asarray(dirs), jnp.asarray(near), jnp.asarray(far),
+        samples_count=16,
+    )
+    z_b, idx_b, m_b, _ = ray_voxel_intersect(
+        big_state.voxels, big_state.active, jnp.asarray(origins),
+        jnp.asarray(dirs), jnp.asarray(near), jnp.asarray(far),
+        samples_count=16,
+    )
+    np.testing.assert_allclose(np.asarray(z_b), np.asarray(z_s), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_b), np.asarray(m_s))
+
+
+def test_slab_integrate_matches_numpy():
+    """integrate above _SLAB_V (slab-scanned accumulators) == the numpy
+    running-mean semantics of the reference (tree.py:177-206)."""
+    from nerfmeshes_tpu.buff.tree import TreeState, integrate
+
+    rng = np.random.default_rng(7)
+    V, R, S = 4096, 64, 9
+    memm0 = rng.uniform(0, 1, V).astype(np.float32)
+    state = TreeState(
+        voxels=jnp.zeros((V, 2, 3)),
+        active=jnp.ones((V,), bool),
+        memm=jnp.asarray(memm0),
+        counter=jnp.asarray(3, jnp.int32),
+    )
+    vox = rng.integers(0, V, (R, S)).astype(np.int32)
+    w = rng.uniform(0, 1, (R, S)).astype(np.float32)
+    mw = (rng.uniform(0, 1, (R, S)) > 0.4).astype(np.float32)
+    rmask = rng.uniform(0, 1, R) > 0.2
+
+    got = integrate(state, jnp.asarray(vox), jnp.asarray(w), jnp.asarray(mw),
+                    jnp.asarray(rmask))
+
+    acc = np.zeros(V, np.float64)
+    freq = np.zeros(V, np.float64)
+    rm = rmask[:, None].astype(np.float64)
+    np.add.at(acc, vox.reshape(-1), (w * rm).reshape(-1))
+    np.add.at(freq, vox.reshape(-1), (mw * rm).reshape(-1))
+    hit = freq > 0
+    expected = memm0.astype(np.float64).copy()
+    expected[hit] += (acc[hit] / freq[hit] - memm0[hit]) / 3.0
+    np.testing.assert_allclose(np.asarray(got.memm), expected, rtol=2e-5, atol=1e-6)
+    assert int(got.counter) == 4
