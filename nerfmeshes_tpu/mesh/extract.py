@@ -323,6 +323,20 @@ def _sparse_density_extract(
     t0 = time.time()
     mn, mx, std = (float(v) for v in np.asarray(stats_dev))
     iso = float(min(max(iso_level, mn + std), mx - std))
+    # Diagnostics for the adaptive clamp (mesh quality is sensitive to the
+    # effective iso drifting up as the density field sharpens with
+    # training — std grows, so min+std can exceed the requested level).
+    LAST_TIMINGS.update(
+        iso_requested=float(iso_level), iso_effective=iso,
+        density_min=mn, density_max=mx, density_std=std,
+    )
+    if iso > float(iso_level) + 1e-6:
+        print(
+            f"mesh: adaptive clamp raised iso {iso_level:g} -> {iso:.3f} "
+            f"(density min {mn:.2f} max {mx:.2f} std {std:.2f}); thin "
+            "geometry may erode — consider an explicit --iso-level.",
+            flush=True,
+        )
     blocks3 = np.asarray(blocks3_dev)
     bmin_own, bminh, bmaxh = blocks3[0], blocks3[1], blocks3[2]
     fetch = (bminh <= iso) & (bmaxh >= iso)  # (B, B, B) halo straddle
@@ -358,7 +372,13 @@ def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
     """Adaptive clamp of the iso level into [min+std, max-std]
     (reference: src/mesh_nerf.py:56-65)."""
     min_a, max_a, std_a = density.min(), density.max(), density.std()
-    return float(min(max(iso_level, min_a + std_a), max_a - std_a))
+    iso = float(min(max(iso_level, min_a + std_a), max_a - std_a))
+    LAST_TIMINGS.update(
+        iso_requested=float(iso_level), iso_effective=iso,
+        density_min=float(min_a), density_max=float(max_a),
+        density_std=float(std_a),
+    )
+    return iso
 
 
 def extract_geometry(
