@@ -305,22 +305,7 @@ def main(num_steps: int = 500, rays_per_step: int = 256,
     return summary
 
 
-if __name__ == "__main__":
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=500)
-    ap.add_argument("--rays", type=int, default=256)
-    ap.add_argument("--deterministic", action="store_true",
-                    help="disable perturb + sigma noise (step-level numerics mode)")
-    ap.add_argument("--buff", action="store_true",
-                    help="run the BuFF composed-loop parity study instead")
-    ap.add_argument("--ref-seeds", type=int, nargs="+", default=[0])
-    ap.add_argument("--our-seeds", type=int, nargs="+", default=[0])
-    args = ap.parse_args()
-    if args.buff:
-        main_buff(args.steps, args.rays)
-    else:
-        main(args.steps, args.rays, stochastic=not args.deterministic,
-             ref_seeds=tuple(args.ref_seeds), our_seeds=tuple(args.our_seeds))
+
 
 
 # ---------------------------------------------------------------------------
@@ -659,3 +644,21 @@ def main_buff(num_steps: int = 500, rays_per_step: int = 256) -> dict:
     }
     print(json.dumps(summary, indent=2))
     return summary
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--rays", type=int, default=256)
+    ap.add_argument("--deterministic", action="store_true",
+                    help="disable perturb + sigma noise (step-level numerics mode)")
+    ap.add_argument("--buff", action="store_true",
+                    help="run the BuFF composed-loop parity study instead")
+    ap.add_argument("--ref-seeds", type=int, nargs="+", default=[0])
+    ap.add_argument("--our-seeds", type=int, nargs="+", default=[0])
+    args = ap.parse_args()
+    if args.buff:
+        main_buff(args.steps, args.rays)
+    else:
+        main(args.steps, args.rays, stochastic=not args.deterministic,
+             ref_seeds=tuple(args.ref_seeds), our_seeds=tuple(args.our_seeds))
