@@ -63,6 +63,20 @@ def _watchdog() -> None:
     sys.exit(1)
 
 
+def _probe_network(timeout_s: float = 3.0) -> bool:
+    """True if DNS + TCP egress works (checked each bench run; this
+    environment has had zero egress every round so far)."""
+    import socket
+
+    for host in ("drive.google.com", "github.com"):
+        try:
+            with socket.create_connection((host, 443), timeout=timeout_s):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main() -> None:
     import jax
 
@@ -235,6 +249,10 @@ def main() -> None:
         else None,
         "final_loss": float(metrics["train/loss"]),
         "baseline_train_rays_per_sec": baseline,
+        # Re-probed every bench run (VERDICT r2 item 9): if the network
+        # ever appears, scripts/download_datasets.py + real-lego parity
+        # become the immediate top priority next round.
+        "network_available": _probe_network(),
     }
     print(json.dumps(details), file=sys.stderr)
     try:
