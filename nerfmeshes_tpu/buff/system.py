@@ -304,7 +304,6 @@ class BuFFSystem(NeRFSystem):
 
     def setup(self, train_dataset=None, val_dataset=None):
         super().setup(train_dataset, val_dataset)
-        self._dropped_seen = False
         self._build_train_fn()
         self._render_chunk = self._build_render_chunk()
         return self
@@ -366,7 +365,18 @@ class BuFFSystem(NeRFSystem):
             return
         if getattr(self, "_grew_at_step", None) == step:
             return
-        self._dropped_seen = True
+        if self._effective_max_chords() >= self.tree.capacity:
+            # Cap already at capacity (cannot bind there: K is clamped to
+            # V, so every chord fits) — warn once, not every call.
+            if not getattr(self, "_warned_capped", False):
+                self._warned_capped = True
+                print(
+                    f"WARNING: BuFF dropped {dropped:.0f} chords at step "
+                    f"{step} with the cap already at tree capacity "
+                    f"({self.tree.capacity}); not growing further.",
+                    flush=True,
+                )
+            return
         print(
             f"WARNING: BuFF chord cap binding at step {step}: "
             f"{dropped:.0f} ray/voxel chords dropped "
@@ -508,14 +518,11 @@ class BuFFSystem(NeRFSystem):
                 memm = np.asarray(self.tree_state.memm)
                 self.tree_state = self.tree.consolidate(memm)
                 self._log_tree(step + 1)
-                if getattr(self, "_dropped_seen", False):
-                    self._grow_chord_cap()
 
     def _grow_chord_cap(self) -> None:
         """Double max_chords_per_ray after observed drops and rebuild the
         jitted functions (one recompile; at most log2(capacity) times —
         the kernel clamps K to the voxel capacity)."""
-        self._dropped_seen = False
         # Counters produced under the old cap must not trigger a second
         # doubling after this one.
         self._dropped_prev = self._dropped_cur = None

@@ -48,8 +48,12 @@ AUTO_CHORD_CAP = 64
 # workspace — BASELINE.md's documented wall). Above this V the device ops
 # scan over V-slabs of this size, bounding every intermediate at
 # R x _SLAB_V x K / (R*S) x _SLAB_V while computing the identical result
-# (tests pin slab == monolithic exactly).
-_SLAB_V = 2048
+# (tests pin slab == monolithic exactly). Env-overridable so perf probes
+# can A/B the slab scan against the monolithic fusion at a given V
+# (scripts/probe_slab_perf.py).
+import os as _os
+
+_SLAB_V = int(_os.environ.get("NERFMESHES_SLAB_V", "2048"))
 
 
 @dataclass
@@ -286,7 +290,8 @@ def ray_voxel_intersect(
         sort_idx = jnp.argsort(z_vals, axis=-1)
         z_vals = _onehot_gather(z_vals, sort_idx)
         voxel_idx = _onehot_gather(
-            voxel_idx.astype(jnp.float32), sort_idx
+            voxel_idx.astype(jnp.float32), sort_idx,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
     else:
         # Deterministic length-proportional sampling (semantics of the
@@ -320,10 +325,15 @@ def ray_voxel_intersect(
             # Compact (invalid slots get lo=hi=big: zero length, sorts to the end).
             lo_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmin, 0.0), onehot)
             hi_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmax, 0.0), onehot)
+            # Voxel IDS through a contraction MUST stay exact: ids above
+            # 256 are not representable in bf16, so a default-precision
+            # MXU lowering would mis-attribute integration (the failure
+            # mode of the reverted factored one-hot, DESIGN.md §7.2).
             ids_k = jnp.einsum(
                 "rv,rvk->rk",
                 jnp.where(mask, jnp.arange(V, dtype=jnp.float32)[None, :], 0.0),
                 onehot,
+                precision=jax.lax.Precision.HIGHEST,
             )
             n_valid = jnp.sum(valid, axis=-1, keepdims=True)  # (R,1)
             in_use = jnp.arange(K)[None, :] < n_valid
@@ -336,7 +346,7 @@ def ray_voxel_intersect(
         order_k = jnp.argsort(lo_k, axis=-1)
         lo_k = _onehot_gather(lo_k, order_k)
         hi_k = _onehot_gather(hi_k, order_k)
-        ids_k = _onehot_gather(ids_k, order_k)
+        ids_k = _onehot_gather(ids_k, order_k, precision=jax.lax.Precision.HIGHEST)
         lo_k = jnp.where(lo_k >= big, 0.0, lo_k)
         hi_k = jnp.where(hi_k >= big, 0.0, hi_k)
 
@@ -350,7 +360,9 @@ def ray_voxel_intersect(
         first_in_bucket = _searchsorted_left(bucket, bucket)
         offset = samples - _onehot_gather(samples, first_in_bucket)
         z_vals = _onehot_gather(lo_k, bucket) + offset
-        voxel_idx = _onehot_gather(ids_k, bucket).astype(jnp.int32)
+        voxel_idx = _onehot_gather(
+            ids_k, bucket, precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
         # Construction order is already depth-sorted (monotone targets over
         # depth-sorted chords) — no final sort.
 
@@ -427,7 +439,13 @@ def _chords_by_slab(voxels, active, origins, inv_d, neg, near, far, K):
         lo_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmin, 0.0), onehot)
         hi_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, tmax, 0.0), onehot)
         ids = base + jnp.arange(_SLAB_V, dtype=jnp.float32)[None, :]
-        ids_k = jnp.einsum("rv,rvk->rk", jnp.where(mask, ids, 0.0), onehot)
+        # IDS contractions pinned to HIGHEST precision: ids above 256 are
+        # not bf16-representable, so a default-precision MXU lowering
+        # would silently mis-attribute integration (DESIGN.md §7.2).
+        exact = jax.lax.Precision.HIGHEST
+        ids_k = jnp.einsum(
+            "rv,rvk->rk", jnp.where(mask, ids, 0.0), onehot, precision=exact
+        )
         cnt_all = jnp.sum(valid, axis=-1)  # (R,) incl. beyond-K
         cnt = jnp.minimum(cnt_all, K)
 
@@ -438,7 +456,9 @@ def _chords_by_slab(voxels, active, origins, inv_d, neg, near, far, K):
         cov = jnp.sum(oh, axis=1)  # (R, K) 1 where this slab wrote
         lo_buf = jnp.where(cov > 0, jnp.einsum("rjk,rj->rk", oh, lo_k), lo_buf)
         hi_buf = jnp.where(cov > 0, jnp.einsum("rjk,rj->rk", oh, hi_k), hi_buf)
-        ids_buf = jnp.where(cov > 0, jnp.einsum("rjk,rj->rk", oh, ids_k), ids_buf)
+        ids_buf = jnp.where(
+            cov > 0, jnp.einsum("rjk,rj->rk", oh, ids_k, precision=exact), ids_buf
+        )
         n_prev = jnp.minimum(n_prev + cnt, K)
         return (lo_buf, hi_buf, ids_buf, n_prev, n_hit + cnt_all), None
 
@@ -462,11 +482,14 @@ def _searchsorted_left(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndar
     )
 
 
-def _onehot_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _onehot_gather(values: jnp.ndarray, idx: jnp.ndarray,
+                   precision=None) -> jnp.ndarray:
     """values (R, K) gathered at idx (R, S) -> (R, S) via a one-hot MXU
-    contraction (XLA's per-element gather is the slow path on TPU)."""
+    contraction (XLA's per-element gather is the slow path on TPU).
+    Pass precision=HIGHEST when `values` are integer ids riding as floats
+    (ids above 256 are not bf16-representable)."""
     onehot = jax.nn.one_hot(idx, values.shape[-1], dtype=values.dtype)
-    return jnp.einsum("rsk,rk->rs", onehot, values)
+    return jnp.einsum("rsk,rk->rs", onehot, values, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("axis_name",))

@@ -43,6 +43,12 @@ class MeshArgs:
     cache_name: str = "mesh_cache.npz"
     save_dir: str = "."
     mesh_name: str = "mesh.obj"
+    # Apply the reference's adaptive clamp iso -> [min+std, max-std]
+    # (src/mesh_nerf.py:56-65). False uses the requested iso verbatim —
+    # needed to test iso values below the adaptive floor (the clamp
+    # drifts UP as the density field sharpens with training, eroding
+    # thin geometry; see scripts/iso_sweep.py).
+    clamp_iso: bool = True
 
 
 def _mesh_size(mesh) -> int:
@@ -201,7 +207,7 @@ class SparseDensityGrid:
 
 def _sparse_density_extract(
     density_fn, limit: float, res: int, iso_level: float, *, tile: int = 262144,
-    density_params=None, mesh=None,
+    density_params=None, mesh=None, clamp_iso: bool = True,
 ) -> Tuple[SparseDensityGrid, float]:
     """Density grid via sparse block transfer -> (SparseDensityGrid, iso).
 
@@ -322,7 +328,10 @@ def _sparse_density_extract(
 
     t0 = time.time()
     mn, mx, std = (float(v) for v in np.asarray(stats_dev))
-    iso = float(min(max(iso_level, mn + std), mx - std))
+    if clamp_iso:
+        iso = float(min(max(iso_level, mn + std), mx - std))
+    else:
+        iso = float(iso_level)
     # Diagnostics for the adaptive clamp (mesh quality is sensitive to the
     # effective iso drifting up as the density field sharpens with
     # training — std grows, so min+std can exceed the requested level).
@@ -400,6 +409,7 @@ def extract_geometry(
         density, iso_value = _sparse_density_extract(
             density_fn, args.limit, args.res, args.iso_level,
             density_params=density_params, mesh=mesh,
+            clamp_iso=getattr(args, "clamp_iso", True),
         )
     else:
         if density_fn is not None and density_params is not None:
@@ -409,7 +419,16 @@ def extract_geometry(
             sample_points_fn, args.limit, args.res, density_fn=density_fn,
             mesh=mesh,
         )
-        iso_value = extract_iso_level(density, args.iso_level)
+        if getattr(args, "clamp_iso", True):
+            iso_value = extract_iso_level(density, args.iso_level)
+        else:
+            iso_value = float(args.iso_level)
+            LAST_TIMINGS.update(
+                iso_requested=iso_value, iso_effective=iso_value,
+                density_min=float(density.min()),
+                density_max=float(density.max()),
+                density_std=float(density.std()),
+            )
     t0 = time.time()
     vertices, triangles, normals = marching_cubes(density, iso_value)
     LAST_TIMINGS["marching_cubes_s"] = time.time() - t0

@@ -80,11 +80,17 @@ def main():
     surf = surf[rng.choice(len(surf), size=n_cmp, replace=len(surf) < n_cmp)]
 
     rows = []
-    for iso in args.isos:
+    # Unclamped sweep over the requested isos (the adaptive clamp would
+    # pull everything below min+std up to the same floor, making low-iso
+    # rows indistinguishable), plus one final row with the reference's
+    # adaptive clamp at the shipped request (the production behavior).
+    cases = [(float(iso), False) for iso in args.isos] + [(30.0, True)]
+    for iso, clamp in cases:
         t0 = time.time()
         verts, faces, _, _ = extract_geometry(
             system.sample_points,
-            MeshArgs(res=args.res, limit=1.2, iso_level=float(iso)),
+            MeshArgs(res=args.res, limit=1.2, iso_level=float(iso),
+                     clamp_iso=clamp),
             density_fn=system.density_apply,
             density_params=system.finest_params,
             mesh=getattr(system, "mesh", None),
@@ -98,6 +104,7 @@ def main():
         row = {
             "step": step,
             "res": args.res,
+            "adaptive_clamp": clamp,
             "iso_requested": float(iso),
             "iso_effective": LAST_TIMINGS.get("iso_effective"),
             "density_min": LAST_TIMINGS.get("density_min"),
