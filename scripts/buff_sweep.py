@@ -42,6 +42,10 @@ def run_one(cap: int, steps: int, size: int, scene: str, lr: float) -> dict:
     # Short-run cadence (the shipped 6k/6k schedule is built for 250k iters).
     cfg.tree.step_size_integration_offset = 500
     cfg.tree.step_size_tree = 2000
+    # Benchmark comparability: evaluate ALL val views at a pinned draw
+    # (validate() otherwise redraws views per step since round 3).
+    cfg.nerf.validation.fixed_views = True
+    cfg.nerf.validation.num_samples = -1
 
     system = build_system(cfg)
     system.setup(
@@ -84,6 +88,8 @@ def run_hierarchical(steps: int, size: int, scene: str, lr: float) -> dict:
     cfg.dataset.type = "synthetic"
     cfg.dataset.scene = scene
     cfg.nerf.train.perturb = True
+    cfg.nerf.validation.fixed_views = True
+    cfg.nerf.validation.num_samples = -1
 
     system = NeRFSystem(cfg)
     system.setup(

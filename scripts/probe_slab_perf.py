@@ -63,15 +63,18 @@ def child(voxels: int, calls: int) -> None:
         cfg, coarse, opt, H=int(H), W=int(W), focal=float(focal),
         donate=False,
     )
+    # Force VALUE readbacks, not block_until_ready: through the axon
+    # tunnel block_until_ready returns without waiting (CLAUDE.md —
+    # naive microbenchmarks lie), so timings must close with a fetch.
     t0 = time.time()
     carry, metrics = fn(carry, data)
-    jax.block_until_ready(metrics["train/loss"])
+    float(metrics["train/loss"])
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(calls):
         carry, metrics = fn(carry, data)
-    jax.block_until_ready(metrics["train/loss"])
+    float(metrics["train/loss"])
     elapsed = time.time() - t0
     print(json.dumps({
         "slab_v": _SLAB_V,
