@@ -99,13 +99,16 @@ class DataBundle:
             hwf=self.hwf,
         )
 
-    def ndc(self, focal: float = 1.0) -> "DataBundle":
+    def ndc(self, focal: float | None = None) -> "DataBundle":
         """Convert rays to normalized device coordinates (LLFF forward-facing).
 
         Matches the reference's DataBundle.ndc (src/data/data_helpers.py:164-167):
-        near=1.0, H/W from hwf, per-ray origins produced by the transform.
+        ``ndc_rays(*self.hwf, 1.0, ...)`` — H/W/**focal** all come from hwf
+        (the 1.0 is ``near``), per-ray origins produced by the transform.
         """
         h, w = int(self.hwf[0]), int(self.hwf[1])
+        if focal is None:
+            focal = float(self.hwf[2])
         origins = np.broadcast_to(
             np.asarray(self.ray_origins)[..., None, None, :],
             np.asarray(self.ray_directions).shape,

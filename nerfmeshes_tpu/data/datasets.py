@@ -110,14 +110,15 @@ class RayDataset:
     def image_rays(self, idx: int):
         """One image's rays as flat (H*W, 3) DEVICE arrays.
 
-        Same math as image_bundle (including NDC with the reference's
-        focal=1.0 quirk, src/data/data_helpers.py:164-167) but the rays
-        never visit the host: validation/eval pass them straight to the
-        chunk renderer, avoiding a ~30MB fetch+upload round-trip per
-        800^2 image through a TPU tunnel."""
+        Same math as image_bundle (NDC via the reference's
+        ``ndc_rays(*hwf, 1.0, ...)``, src/data/data_helpers.py:164-167 —
+        real focal from hwf, near=1.0) but the rays never visit the host:
+        validation/eval pass them straight to the chunk renderer, avoiding
+        a ~30MB fetch+upload round-trip per 800^2 image through a TPU
+        tunnel."""
         from nerfmeshes_tpu.ops.rays import get_ray_bundle_intrinsics, ndc_rays
 
-        H, W, _ = self.hwf
+        H, W, focal = self.hwf
         pose = self.poses[idx]
         origins, directions = get_ray_bundle_intrinsics(
             int(H), int(W), self.intrinsics(), jnp.asarray(pose)
@@ -126,7 +127,7 @@ class RayDataset:
         origins = jnp.broadcast_to(origins.reshape(-1, 3), directions.shape)
         if self.cfg.dataset.use_ndc:
             h, w = int(H), int(W)
-            origins, directions = ndc_rays(h, w, 1.0, 1.0, origins, directions)
+            origins, directions = ndc_rays(h, w, float(focal), 1.0, origins, directions)
         return origins, directions
 
     def image_bundle(self, idx: int) -> DataBundle:

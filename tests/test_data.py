@@ -328,6 +328,58 @@ def test_llff_ndc_end_to_end_training(llff_root):
     assert np.isfinite(m2["validation/loss"])
 
 
+def test_ndc_val_rays_match_train_path(llff_root):
+    """With use_ndc, the val/eval ray paths (image_rays, image_bundle.ndc)
+    must apply the SAME NDC transform as the train step — i.e. the real
+    focal from hwf (reference: DataBundle.ndc = ndc_rays(*hwf, 1.0, ...),
+    src/data/data_helpers.py:164-167; the 1.0 is near, not focal).
+    Regression: image_rays once hardcoded focal=1.0, so NDC runs trained
+    fine but validated at ~5 dB."""
+    import jax.numpy as jnp
+
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.train.step import make_pose_rays
+    from nerfmeshes_tpu.train.system import NeRFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.dataset.type = "colmap"
+    cfg.dataset.basedir = str(llff_root)
+    cfg.dataset.use_ndc = True
+    cfg.dataset.near = 0.0
+    cfg.dataset.far = 1.0
+    cfg.dataset.llff_downsample_factor = 2
+    cfg.dataset.llff_hold_step = 3
+
+    system = NeRFSystem(cfg)
+    system.setup()
+    ds = system.val_dataset
+    H, W, focal = ds.hwf
+    o_val, d_val = ds.image_rays(0)
+
+    pose_rays = make_pose_rays(int(H), int(W), float(focal), use_ndc=True,
+                               intrinsics=ds.intrinsics())
+    o_train, d_train = pose_rays(jnp.asarray(ds.poses[0]))
+    np.testing.assert_allclose(np.asarray(o_val), np.asarray(o_train),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_val), np.asarray(d_train),
+                               rtol=1e-5, atol=1e-5)
+
+    # Host path (image_bundle -> DataBundle.ndc) agrees too.
+    b = ds.image_bundle(0)
+    np.testing.assert_allclose(
+        b.ray_directions.reshape(-1, 3), np.asarray(d_val), rtol=1e-4, atol=1e-4
+    )
+
+    # The transform must actually depend on focal (guards a focal=1.0
+    # regression without needing the torch reference here).
+    pose_rays_f1 = make_pose_rays(int(H), int(W), float(focal), use_ndc=False,
+                                  intrinsics=ds.intrinsics())
+    from nerfmeshes_tpu.ops.rays import ndc_rays
+    o_raw, d_raw = pose_rays_f1(jnp.asarray(ds.poses[0]))
+    o_f1, d_f1 = ndc_rays(int(H), int(W), 1.0, 1.0, o_raw, d_raw)
+    assert not np.allclose(np.asarray(d_f1), np.asarray(d_val), atol=1e-3)
+
+
 def test_colmap_images_binary_ddq_format(tmp_path):
     """images.bin per-point records are (x f8, y f8, POINT3D_ID i8) —
     'ddq', not three doubles (official COLMAP format; reference reader
