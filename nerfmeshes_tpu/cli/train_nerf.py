@@ -64,9 +64,8 @@ def main(argv=None) -> None:
         config_path=args.config,
         log_checkpoint=args.log_checkpoint,
         run_name=args.run_name,
+        overrides=args.override,
     )
-    if args.override:
-        cfg.merge_from_list(args.override)
     if args.precision:
         cfg.experiment.compute_dtype = {
             "32": "float32", "16": "bfloat16", "bf16": "bfloat16"

@@ -61,22 +61,33 @@ def resolve_paths(
     config_path: Optional[str] = None,
     log_checkpoint: Optional[str] = None,
     run_name: Optional[str] = None,
+    overrides: Optional[list] = None,
 ) -> tuple[CfgNode, ExperimentPaths]:
     """New run from a config YAML, or resume from an existing log dir.
 
     Exactly one of config_path / log_checkpoint must be given (the
     reference asserts the same XOR, src/lightning_modules.py:170-183).
+
+    `overrides` (dotted KEY VALUE pairs, the --override flag) merge into
+    the config BEFORE the run directory is derived and hparams.yaml is
+    written — so experiment.id / experiment.logdir overrides place the
+    run, and a later resume (which reads hparams.yaml) keeps every
+    override instead of silently reverting to the YAML values.
     """
     if (config_path is None) == (log_checkpoint is None):
         raise ValueError("Provide exactly one of config_path or log_checkpoint")
 
     if log_checkpoint is not None:
         cfg = load_hparams(log_checkpoint)
+        if overrides:
+            cfg.merge_from_list(list(overrides))
         return cfg, ExperimentPaths(Path(log_checkpoint)).create()
 
     from nerfmeshes_tpu.config.schema import load_config
 
     cfg = load_config(config_path)
+    if overrides:
+        cfg.merge_from_list(list(overrides))
     run = run_name or "default"
     base = Path(cfg.experiment.logdir) / cfg.experiment.id / run
     version = 0

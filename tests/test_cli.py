@@ -107,6 +107,37 @@ def test_train_cli_override(tmp_path):
     metrics = [json.loads(l) for l in open(Path(logdir) / "events" / "metrics.jsonl")]
     assert max(m["step"] for m in metrics) == 20
 
+    # Overrides must survive into hparams.yaml: a resume reads hparams,
+    # so an unsaved override would silently revert (regression: the r3
+    # 20k run resumed toward the YAML's 250k train_iters).
+    flat = yaml.safe_load(open(Path(logdir) / "hparams.yaml"))
+    assert flat["experiment.train_iters"] == 20
+
+
+def test_train_cli_override_places_run_dir(tmp_path):
+    """experiment.id / experiment.logdir overrides must affect the run
+    directory (regression: resolve_paths ran before the override merge, so
+    `--override experiment.id hard-20k` wrote under the YAML's id)."""
+    import yaml
+
+    cfg_path = tmp_path / "tiny.yml"
+    base = yaml.safe_load(open("/root/repo/configs/tiny.yml"))
+    yaml.safe_dump(base, open(cfg_path, "w"))
+    train_nerf.main(
+        ["--config", str(cfg_path), "--run-name", "ovr2",
+         "--override",
+         "experiment.logdir", str(tmp_path / "ovr_logs"),
+         "experiment.id", "renamed",
+         "experiment.train_iters", "10",
+         "experiment.steps_per_call", "5",
+         "experiment.validate_every", "10",
+         "nerf.train.num_random_rays", "64"]
+    )
+    import glob
+
+    runs = glob.glob(str(tmp_path / "ovr_logs/renamed/ovr2/version_*"))
+    assert len(runs) == 1, runs
+
 
 def test_mesh_cli_buff(tmp_path):
     """Mesh extraction from a BuFF checkpoint: sigma kernel + sparse
