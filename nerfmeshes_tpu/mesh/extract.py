@@ -328,6 +328,7 @@ def _sparse_density_extract(
 
     t0 = time.time()
     mn, mx, std = (float(v) for v in np.asarray(stats_dev))
+    t_stats = time.time()
     if clamp_iso:
         iso = float(min(max(iso_level, mn + std), mx - std))
     else:
@@ -347,6 +348,7 @@ def _sparse_density_extract(
             flush=True,
         )
     blocks3 = np.asarray(blocks3_dev)
+    t_blocks3 = time.time()
     bmin_own, bminh, bmaxh = blocks3[0], blocks3[1], blocks3[2]
     fetch = (bminh <= iso) & (bmaxh >= iso)  # (B, B, B) halo straddle
     idx = np.flatnonzero(fetch)
@@ -363,8 +365,19 @@ def _sparse_density_extract(
         )
         return jnp.take(sb, blocks, axis=0)
 
-    packed = np.asarray(stage2(sigma_dev, jnp.asarray(idx_p)))[: idx.size]
-    LAST_TIMINGS["grid_transfer_s"] = time.time() - t0
+    out_dev = stage2(sigma_dev, jnp.asarray(idx_p))
+    jax.block_until_ready(out_dev)
+    t_gather = time.time()
+    packed = np.asarray(out_dev)[: idx.size]
+    t_packed = time.time()
+    LAST_TIMINGS["grid_transfer_s"] = t_packed - t0
+    # Phase split of the transfer (diagnosing tunnel-rate anomalies:
+    # r3 saw 133s for a 21k-block fetch that should cost ~2s).
+    LAST_TIMINGS["transfer_stats_fetch_s"] = t_stats - t0
+    LAST_TIMINGS["transfer_blocks3_fetch_s"] = t_blocks3 - t_stats
+    LAST_TIMINGS["transfer_gather_compile_run_s"] = t_gather - t_blocks3
+    LAST_TIMINGS["transfer_packed_fetch_s"] = t_packed - t_gather
+    LAST_TIMINGS["transfer_packed_mb"] = packed.nbytes / 1e6
     LAST_TIMINGS["sparse_blocks_fetched"] = int(idx.size)
     LAST_TIMINGS["sparse_blocks_total"] = int(B**3)
 

@@ -23,7 +23,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run_one(cap: int, steps: int, size: int, scene: str, lr: float) -> dict:
+def run_one(cap: int, steps: int, size: int, scene: str, lr: float,
+            seed: int = 42) -> dict:
     import numpy as np
 
     from nerfmeshes_tpu.config import load_config
@@ -31,6 +32,7 @@ def run_one(cap: int, steps: int, size: int, scene: str, lr: float) -> dict:
     from nerfmeshes_tpu.train.factory import build_system
 
     cfg = load_config("/root/repo/configs/buff-synthetic-lego.yml")
+    cfg.experiment.randomseed = seed
     cfg.experiment.train_iters = steps
     cfg.experiment.validate_every = 0
     cfg.experiment.print_every = 1000
@@ -60,6 +62,7 @@ def run_one(cap: int, steps: int, size: int, scene: str, lr: float) -> dict:
     depths = sorted({leaf.depth for leaf in system.tree.leaves})
     out = {
         "max_voxel_count": cap,
+        "seed": seed,
         "psnr": float(m["validation/coarse_psnr"]),
         "active_voxels": active,
         "depths": depths,
@@ -70,7 +73,8 @@ def run_one(cap: int, steps: int, size: int, scene: str, lr: float) -> dict:
     return out
 
 
-def run_hierarchical(steps: int, size: int, scene: str, lr: float) -> dict:
+def run_hierarchical(steps: int, size: int, scene: str, lr: float,
+                     seed: int = 42) -> dict:
     """Matching hierarchical run — the bar BuFF must meet."""
     import numpy as np  # noqa: F401
 
@@ -79,6 +83,7 @@ def run_hierarchical(steps: int, size: int, scene: str, lr: float) -> dict:
     from nerfmeshes_tpu.train.system import NeRFSystem
 
     cfg = get_default_cfg()
+    cfg.experiment.randomseed = seed
     cfg.experiment.compute_dtype = "bfloat16"
     cfg.experiment.train_iters = steps
     cfg.experiment.validate_every = 0
@@ -102,6 +107,7 @@ def run_hierarchical(steps: int, size: int, scene: str, lr: float) -> dict:
     m = system.validate(log_images=False)
     out = {
         "system": "hierarchical",
+        "seed": seed,
         "psnr": float(m.get("validation/fine_psnr", m["validation/coarse_psnr"])),
         "coarse_psnr": float(m["validation/coarse_psnr"]),
         "train_s": train_s,
@@ -118,6 +124,10 @@ def main():
     ap.add_argument("--scene", default="blobs")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--skip-hierarchical", action="store_true")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[42],
+                    help="experiment.randomseed values; each system/cap runs "
+                    "once per seed (quality near saturation is seed-chaotic, "
+                    "so match-or-beat claims need the spread).")
     ap.add_argument("--out", default="buff_sweep.json")
     args = ap.parse_args()
 
@@ -126,15 +136,22 @@ def main():
     enable_compilation_cache()
 
     results = {"steps": args.steps, "size": args.size, "scene": args.scene,
-               "buff": [], "hierarchical": None}
+               "seeds": args.seeds, "buff": [], "hierarchical": None}
     if not args.skip_hierarchical:
-        results["hierarchical"] = run_hierarchical(
-            args.steps, args.size, args.scene, args.lr
-        )
+        hier = [
+            run_hierarchical(args.steps, args.size, args.scene, args.lr, seed)
+            for seed in args.seeds
+        ]
+        results["hierarchical"] = hier[0] if len(hier) == 1 else hier
     for cap in args.caps:
-        results["buff"].append(
-            run_one(cap, args.steps, args.size, args.scene, args.lr)
-        )
+        for seed in args.seeds:
+            results["buff"].append(
+                run_one(cap, args.steps, args.size, args.scene, args.lr, seed)
+            )
+            # Checkpoint partial results (runs are minutes each; a tunnel
+            # wedge shouldn't lose the completed ones).
+            with open(args.out, "w") as fh:
+                json.dump(results, fh, indent=2)
     with open(args.out, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results, indent=2))
