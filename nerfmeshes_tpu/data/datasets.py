@@ -156,6 +156,17 @@ class RayDataset:
         return bundle
 
     def _bounds_for(self, idx: int) -> np.ndarray:
+        if self.cfg.dataset.use_ndc:
+            # NDC reparameterizes each ray so t in [0, 1] spans the view
+            # frustum from the near plane to infinity (ops/rays.py:ndc_rays);
+            # scene-depth bounds (per-image COLMAP near/far) are meaningless
+            # along NDC rays — samples land past the far plane and the field
+            # memorizes without 3D structure (train 22.8 dB / eval 10.4 dB on
+            # the forward-facing hard scene). The original NeRF hardcodes
+            # near=0, far=1 whenever NDC is on; the torch reference never
+            # exercises its NDC flag (config/nerf-colmap-fern.yml:70 ships
+            # use_ndc: False) so its bounds plumbing has no answer to match.
+            return np.array([0.0, 1.0], np.float32)
         b = np.asarray(self.bundle.ray_bounds)
         if b.ndim != 2:
             return b
@@ -176,10 +187,15 @@ class RayDataset:
     def device_arrays(self) -> dict:
         """Everything the jitted train step samples from, as jnp arrays:
         targets (N,H,W,3), poses (N,4,4), bounds (2,) or (N,2), hwf."""
+        bounds = (
+            jnp.asarray([0.0, 1.0], jnp.float32)  # NDC: see _bounds_for
+            if self.cfg.dataset.use_ndc
+            else jnp.asarray(self.bundle.ray_bounds)
+        )
         out = {
             "targets": jnp.asarray(self.bundle.ray_targets),
             "poses": jnp.asarray(self.poses),
-            "bounds": jnp.asarray(self.bundle.ray_bounds),
+            "bounds": bounds,
             "hwf": self.hwf,
         }
         if self.bundle.target_depth is not None:

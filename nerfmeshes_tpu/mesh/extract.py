@@ -323,12 +323,15 @@ def _sparse_density_extract(
 
     t0 = time.time()
     sigma_dev, stats_dev, blocks3_dev = stage1(density_params)
-    jax.block_until_ready(sigma_dev)
+    # Through the TPU tunnel, block_until_ready returns before the remote
+    # program has actually finished (r3: 8.9s "ready" vs a 260.9s first
+    # value fetch); a VALUE readback is the only honest completion
+    # barrier, so grid_eval is timed through the tiny stats fetch.
+    mn, mx, std = (float(v) for v in np.asarray(stats_dev))
     LAST_TIMINGS["grid_eval_device_s"] = time.time() - t0
 
     t0 = time.time()
-    mn, mx, std = (float(v) for v in np.asarray(stats_dev))
-    t_stats = time.time()
+    t_stats = t0
     if clamp_iso:
         iso = float(min(max(iso_level, mn + std), mx - std))
     else:
@@ -371,9 +374,9 @@ def _sparse_density_extract(
     packed = np.asarray(out_dev)[: idx.size]
     t_packed = time.time()
     LAST_TIMINGS["grid_transfer_s"] = t_packed - t0
-    # Phase split of the transfer (diagnosing tunnel-rate anomalies:
-    # r3 saw 133s for a 21k-block fetch that should cost ~2s).
-    LAST_TIMINGS["transfer_stats_fetch_s"] = t_stats - t0
+    # Phase split of the transfer (the r3 "133s transfer" was the tunnel's
+    # deferred stage1 completion landing in the first fetch, now counted
+    # in grid_eval_device_s; actual bandwidth here is healthy).
     LAST_TIMINGS["transfer_blocks3_fetch_s"] = t_blocks3 - t_stats
     LAST_TIMINGS["transfer_gather_compile_run_s"] = t_gather - t_blocks3
     LAST_TIMINGS["transfer_packed_fetch_s"] = t_packed - t_gather

@@ -370,6 +370,15 @@ def test_ndc_val_rays_match_train_path(llff_root):
         b.ray_directions.reshape(-1, 3), np.asarray(d_val), rtol=1e-4, atol=1e-4
     )
 
+    # Under NDC the sampling interval is the reparameterized [0, 1]
+    # frustum, NEVER scene-depth bounds (sampling t~[2,5] along NDC rays
+    # puts every sample past the far plane; the field memorizes train
+    # views without 3D structure).
+    np.testing.assert_allclose(ds._bounds_for(0), [0.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(system.train_dataset.device_arrays()["bounds"]), [0.0, 1.0]
+    )
+
     # The transform must actually depend on focal (guards a focal=1.0
     # regression without needing the torch reference here).
     pose_rays_f1 = make_pose_rays(int(H), int(W), float(focal), use_ndc=False,
