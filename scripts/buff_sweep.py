@@ -144,6 +144,8 @@ def main():
         ]
         results["hierarchical"] = hier[0] if len(hier) == 1 else hier
     for cap in args.caps:
+        if cap <= 0:  # hierarchical-only invocation (e.g. --caps 0)
+            continue
         for seed in args.seeds:
             results["buff"].append(
                 run_one(cap, args.steps, args.size, args.scene, args.lr, seed)
