@@ -65,16 +65,30 @@ def _watchdog() -> None:
 
 def _probe_network(timeout_s: float = 3.0) -> bool:
     """True if DNS + TCP egress works (checked each bench run; this
-    environment has had zero egress every round so far)."""
-    import socket
+    environment has had zero egress every round so far).
 
-    for host in ("drive.google.com", "github.com"):
-        try:
-            with socket.create_connection((host, 443), timeout=timeout_s):
-                return True
-        except OSError:
-            continue
-    return False
+    Runs in a daemon thread with a hard join timeout: socket's
+    `timeout` only bounds the TCP connect, NOT getaddrinfo — a resolver
+    that drops packets would otherwise stall the probe ~5s x attempts x
+    hosts after the metrics are already computed."""
+    import socket
+    import threading
+
+    hit = []
+
+    def probe():
+        for host in ("drive.google.com", "github.com"):
+            try:
+                with socket.create_connection((host, 443), timeout=timeout_s):
+                    hit.append(True)
+                    return
+            except OSError:
+                continue
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(2 * timeout_s)
+    return bool(hit)
 
 
 def main() -> None:

@@ -269,22 +269,14 @@ def make_buff_train_step(
         out["train/dropped_chords"] = jnp.sum(metrics["train/dropped_chords"])
         return carry, out
 
-    if mesh is None:
-        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
-
-    from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from nerfmeshes_tpu.parallel.mesh import maybe_shard
 
     # Params/tree/data replicated; the ray axis exists only inside the
     # per-device body (pallas kernels run as-is per device), collectives =
     # grad/metric pmean + voxel-accumulator psum.
-    sharded = shard_map(
-        multi_step,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    sharded = maybe_shard(multi_step, mesh, (P(), P()), (P(), P()))
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
@@ -418,20 +410,14 @@ class BuFFSystem(NeRFSystem):
             )
             return bundle, None
 
-        from nerfmeshes_tpu.train.step import mesh_size
+        from jax.sharding import PartitionSpec as P
 
-        if mesh_size(self.mesh) > 1:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
+        from nerfmeshes_tpu.parallel.mesh import maybe_shard
 
-            body = shard_map(
-                body,
-                mesh=self.mesh,
-                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
-                out_specs=P(DATA_AXIS),
-                check_vma=False,
-            )
-
+        body = maybe_shard(
+            body, self.mesh,
+            (P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()), P(DATA_AXIS),
+        )
         render_chunk_with_tree = jax.jit(body)
 
         return lambda params, o, d, near, far: render_chunk_with_tree(
@@ -468,20 +454,15 @@ class BuFFSystem(NeRFSystem):
 
                 return jax.lax.map(body, (origins, directions))
 
-            from nerfmeshes_tpu.train.step import mesh_size
+            from jax.sharding import PartitionSpec as P
 
-            if mesh_size(self.mesh) > 1:
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
+            from nerfmeshes_tpu.parallel.mesh import maybe_shard
 
-                loop_body = shard_map(
-                    loop_body,
-                    mesh=self.mesh,
-                    in_specs=(P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS),
-                              P(), P()),
-                    out_specs=P(None, DATA_AXIS),
-                    check_vma=False,
-                )
+            loop_body = maybe_shard(
+                loop_body, self.mesh,
+                (P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P(), P()),
+                P(None, DATA_AXIS),
+            )
 
             @jax.jit
             def render_rgb(params, tree_state, origins, directions, near, far):
@@ -527,9 +508,22 @@ class BuFFSystem(NeRFSystem):
         # doubling after this one.
         self._dropped_prev = self._dropped_cur = None
         cur = self._effective_max_chords()
-        if cur >= self.tree.capacity:
+        ceiling = min(
+            self.tree.capacity, int(self.cfg.tree.get("max_chord_cap", 256))
+        )
+        if cur >= ceiling:
+            # Workspace guard: compaction materializes R x _SLAB_V x K (+ an
+            # R x K x K append shift on the slab path); doubling K without
+            # bound would recreate the compile wall mid-run. Keep training
+            # with drops rather than wedging the tunnel compiler.
+            print(
+                f"BuFF: chord cap {cur} at its ceiling ({ceiling}); further "
+                "drops will NOT grow it — raise tree.max_chord_cap to trade "
+                "compile workspace for exactness.",
+                flush=True,
+            )
             return
-        new = min(2 * cur, self.tree.capacity)
+        new = min(2 * cur, ceiling)
         print(
             f"BuFF: raising tree.max_chords_per_ray {cur} -> {new} "
             "(dropped chords observed; recompiling the train step).",

@@ -60,16 +60,21 @@ def main(argv=None) -> None:
     from nerfmeshes_tpu.config.paths import resolve_paths
     from nerfmeshes_tpu.train.factory import build_system
 
+    # --precision folds into the override list so it lands BEFORE
+    # hparams.yaml is written (a post-hoc cfg mutation would silently
+    # revert on resume/eval, which read hparams — same bug class as the
+    # --override ordering fix).
+    overrides = list(args.override or [])
+    if args.precision:
+        overrides += ["experiment.compute_dtype", {
+            "32": "float32", "16": "bfloat16", "bf16": "bfloat16"
+        }[args.precision]]
     cfg, paths = resolve_paths(
         config_path=args.config,
         log_checkpoint=args.log_checkpoint,
         run_name=args.run_name,
-        overrides=args.override,
+        overrides=overrides,
     )
-    if args.precision:
-        cfg.experiment.compute_dtype = {
-            "32": "float32", "16": "bfloat16", "bf16": "bfloat16"
-        }[args.precision]
 
     import jax
 

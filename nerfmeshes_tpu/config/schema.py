@@ -55,6 +55,13 @@ def get_default_cfg() -> CfgNode:
                 # deterministic sampler. Compaction cost is linear in K;
                 # the dropped-chord counter auto-doubles it when it binds.
                 "max_chords_per_ray": 0,
+                # Ceiling for the auto-doubling: compaction workspace is
+                # R x _SLAB_V x K (plus an R x K x K append one-hot on the
+                # slab path), so unbounded growth would rebuild the
+                # compile wall the slab scan exists to avoid (~2.2GB at
+                # K=128 with R=2048; ~8.6GB at K=512). Past the ceiling,
+                # drops are logged but the cap stays put.
+                "max_chord_cap": 256,
             },
             "dataset": {
                 "type": "blender",

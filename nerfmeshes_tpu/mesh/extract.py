@@ -112,21 +112,22 @@ def _grid_eval(
         # 480^3 (442MB f32); half precision is ample for iso-surfacing.
         return jax.lax.map(tile_fn, jnp.arange(n_tiles)).astype(jnp.float16)
 
-    if n_dev > 1:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        eval_tiles = shard_map(
-            eval_tiles, mesh=mesh, in_specs=(),
-            out_specs=P(None, DATA_AXIS), check_vma=False,
-        )
+    from nerfmeshes_tpu.parallel.mesh import maybe_shard
 
+    eval_tiles = maybe_shard(eval_tiles, mesh, (), P(None, DATA_AXIS))
     eval_all = jax.jit(eval_tiles)
 
     import time
 
     t0 = time.time()
-    dev = jax.block_until_ready(eval_all())
+    dev = eval_all()
+    # Completion barrier via a 1-element VALUE readback: through the TPU
+    # tunnel, block_until_ready returns before the remote program
+    # finishes, which would misattribute the whole eval to the transfer
+    # phase (the r3 "133s transfer" lesson, see _sparse_density_extract).
+    _ = np.asarray(jax.device_get(dev[:1, :1]))
     LAST_TIMINGS["grid_eval_device_s"] = time.time() - t0
     t0 = time.time()
     out = np.asarray(dev)
@@ -270,14 +271,11 @@ def _sparse_density_extract(
 
         return lax.map(tile_fn, jnp.arange(n_tiles))
 
-    if n_dev > 1:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        flat_eval = shard_map(
-            flat_eval, mesh=mesh, in_specs=(P(),),
-            out_specs=P(None, DATA_AXIS), check_vma=False,
-        )
+    from nerfmeshes_tpu.parallel.mesh import maybe_shard
+
+    flat_eval = maybe_shard(flat_eval, mesh, (P(),), P(None, DATA_AXIS))
 
     @jax.jit
     def stage1(params):
@@ -369,7 +367,7 @@ def _sparse_density_extract(
         return jnp.take(sb, blocks, axis=0)
 
     out_dev = stage2(sigma_dev, jnp.asarray(idx_p))
-    jax.block_until_ready(out_dev)
+    _ = np.asarray(out_dev[:1, :1])  # value barrier (block_until_ready lies)
     t_gather = time.time()
     packed = np.asarray(out_dev)[: idx.size]
     t_packed = time.time()

@@ -34,6 +34,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def maybe_shard(fn, mesh: Optional[Mesh], in_specs, out_specs):
+    """shard_map `fn` over the mesh, or return it unchanged on a single
+    device (mesh None / size 1).
+
+    One home for the repeated wrap boilerplate (train step, render chunk,
+    rgb loop, BuFF variants, mesh grid eval). check_vma=False everywhere:
+    the step/render bodies perform their own EXPLICIT collectives (pmean
+    grads/metrics, psum voxel accumulators) — see the module docstring."""
+    if mesh is None or mesh.size <= 1:
+        return fn
+    from jax import shard_map
+
+    return shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
 def default_mesh(max_devices: Optional[int] = None) -> Optional[Mesh]:
     """Mesh over all visible devices, or None on a single device — what
     the CLIs use so eval/mesh extraction engage every chip by default."""

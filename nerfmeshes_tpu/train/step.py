@@ -265,22 +265,14 @@ def make_train_step(
         # Report the last step's metrics.
         return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
-    if mesh is None:
-        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
-
-    from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from nerfmeshes_tpu.parallel.mesh import maybe_shard
 
     # Everything (params, data) is replicated; the ray axis materializes
     # only inside the per-device body, so Pallas kernels run as-is per
     # device and the only collective is the gradient/metric pmean.
-    sharded = shard_map(
-        multi_step,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    sharded = maybe_shard(multi_step, mesh, (P(), P()), (P(), P()))
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
@@ -330,20 +322,15 @@ def make_render_chunk(cfg, coarse_model, fine_model, *, train: bool = False,
         )
         return coarse_bundle, fine_bundle
 
-    if mesh_size(mesh) > 1:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        # Rays sharded over the data axis; every output leaf is per-ray
-        # (axis 0), so one P(DATA_AXIS) prefix gathers them all.
-        body = shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
-            out_specs=P(DATA_AXIS),
-            check_vma=False,
-        )
+    from nerfmeshes_tpu.parallel.mesh import maybe_shard
 
+    # Rays sharded over the data axis; every output leaf is per-ray
+    # (axis 0), so one P(DATA_AXIS) prefix gathers them all.
+    body = maybe_shard(
+        body, mesh, (P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()), P(DATA_AXIS)
+    )
     return jax.jit(body)
 
 
@@ -409,17 +396,15 @@ def make_render_rgb(cfg, coarse_model, fine_model, *, as_uint8: bool = False,
 
         return jax.lax.map(body, (origins, directions))  # (C, local, 3)
 
-    if mesh_size(mesh) > 1:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        loop_body = shard_map(
-            loop_body,
-            mesh=mesh,
-            in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P(), P()),
-            out_specs=P(None, DATA_AXIS),
-            check_vma=False,
-        )
+    from nerfmeshes_tpu.parallel.mesh import maybe_shard
+
+    loop_body = maybe_shard(
+        loop_body, mesh,
+        (P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P(), P()),
+        P(None, DATA_AXIS),
+    )
 
     @jax.jit
     def render_rgb(params, origins, directions, near, far):

@@ -455,6 +455,38 @@ def test_chord_cap_autoscale(tmp_path):
     assert system._effective_max_chords() > 4
 
 
+def test_chord_cap_ceiling(tmp_path):
+    """tree.max_chord_cap bounds the auto-doubling: compaction workspace
+    is R x _SLAB_V x K (+ an R x K x K append shift on the slab path), so
+    unbounded growth would rebuild the compile wall mid-run. At the
+    ceiling, drops keep training (logged) instead of growing K."""
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+
+    cfg = small_cfg(max_chords_per_ray=4)
+    cfg.tree.max_chord_cap = 4
+    cfg.experiment.steps_per_call = 5
+    cfg.experiment.print_every = 5
+    cfg.experiment.train_iters = 40
+    cfg.experiment.validate_every = 0
+    cfg.nerf.train.num_random_rays = 64
+    cfg.nerf.train.num_coarse = 8
+    cfg.nerf.validation.num_coarse = 8
+    cfg.models.coarse.num_layers = 2
+    cfg.models.coarse.hidden_size = 16
+    cfg.dataset.type = "synthetic"
+    system = BuFFSystem(cfg)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=2, image_size=16),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=16),
+    )
+    metrics = system.fit()
+    # Same binding-cap workload as test_chord_cap_autoscale, but the
+    # ceiling pins the cap at 4 while training runs to completion.
+    assert system._effective_max_chords() == 4
+    assert np.isfinite(metrics["train/loss"])
+
+
 def test_intersect_max_chords_knob(rays):
     """cfg.tree.max_chords_per_ray threads through as the K cap; a large
     K reproduces the default result exactly."""

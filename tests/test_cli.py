@@ -114,6 +114,25 @@ def test_train_cli_override(tmp_path):
     assert flat["experiment.train_iters"] == 20
 
 
+def test_train_cli_precision_persists(tmp_path):
+    """--precision must land in hparams.yaml (same bug class as the
+    override ordering: a post-resolve cfg mutation reverts on resume/eval,
+    so an eval session would rebuild the models in a different dtype)."""
+    cfg_path = tmp_path / "tiny.yml"
+    base = yaml.safe_load(open("/root/repo/configs/tiny.yml"))
+    base["experiment"]["logdir"] = str(tmp_path / "logs")
+    yaml.safe_dump(base, open(cfg_path, "w"))
+    train_nerf.main(
+        ["--config", str(cfg_path), "--run-name", "prec", "--precision", "32",
+         "--override", "experiment.train_iters", "5",
+         "experiment.steps_per_call", "5", "experiment.validate_every", "5",
+         "nerf.train.num_random_rays", "64"]
+    )
+    logdir = sorted(glob.glob(str(tmp_path / "logs/tiny/prec/version_*")))[-1]
+    flat = yaml.safe_load(open(Path(logdir) / "hparams.yaml"))
+    assert flat["experiment.compute_dtype"] == "float32"
+
+
 def test_train_cli_override_places_run_dir(tmp_path):
     """experiment.id / experiment.logdir overrides must affect the run
     directory (regression: resolve_paths ran before the override merge, so
