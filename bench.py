@@ -87,7 +87,11 @@ def _probe_network(timeout_s: float = 3.0) -> bool:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(2 * timeout_s)
+    # Generous join: worst case is 2 hosts x (slow-but-working DNS +
+    # connect). A tighter bound would report a slow resolver as "no
+    # egress" — and a false negative here hides the signal the probe
+    # exists to raise (real datasets become fetchable).
+    t.join(5 * timeout_s)
     return bool(hit)
 
 

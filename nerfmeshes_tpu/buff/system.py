@@ -357,15 +357,18 @@ class BuFFSystem(NeRFSystem):
             return
         if getattr(self, "_grew_at_step", None) == step:
             return
-        if self._effective_max_chords() >= self.tree.capacity:
-            # Cap already at capacity (cannot bind there: K is clamped to
-            # V, so every chord fits) — warn once, not every call.
+        if self._effective_max_chords() >= self._chord_cap_ceiling():
+            # Cap pinned — at tree capacity (cannot bind there: K is
+            # clamped to V, so every chord fits) or at the configured
+            # max_chord_cap workspace ceiling. Warn once, not every call.
             if not getattr(self, "_warned_capped", False):
                 self._warned_capped = True
                 print(
                     f"WARNING: BuFF dropped {dropped:.0f} chords at step "
-                    f"{step} with the cap already at tree capacity "
-                    f"({self.tree.capacity}); not growing further.",
+                    f"{step} with the cap at its ceiling "
+                    f"({self._chord_cap_ceiling()}); not growing further — "
+                    "raise tree.max_chord_cap to trade compile workspace "
+                    "for exactness.",
                     flush=True,
                 )
             return
@@ -500,6 +503,14 @@ class BuFFSystem(NeRFSystem):
                 self.tree_state = self.tree.consolidate(memm)
                 self._log_tree(step + 1)
 
+    def _chord_cap_ceiling(self) -> int:
+        """Upper bound for the auto-doubling: tree capacity (K>V cannot
+        bind) or the configured compile-workspace ceiling, whichever is
+        smaller."""
+        return min(
+            self.tree.capacity, int(self.cfg.tree.get("max_chord_cap", 256))
+        )
+
     def _grow_chord_cap(self) -> None:
         """Double max_chords_per_ray after observed drops and rebuild the
         jitted functions (one recompile; at most log2(capacity) times —
@@ -508,9 +519,7 @@ class BuFFSystem(NeRFSystem):
         # doubling after this one.
         self._dropped_prev = self._dropped_cur = None
         cur = self._effective_max_chords()
-        ceiling = min(
-            self.tree.capacity, int(self.cfg.tree.get("max_chord_cap", 256))
-        )
+        ceiling = self._chord_cap_ceiling()
         if cur >= ceiling:
             # Workspace guard: compaction materializes R x _SLAB_V x K (+ an
             # R x K x K append shift on the slab path); doubling K without

@@ -79,9 +79,17 @@ def resolve_paths(
 
     if log_checkpoint is not None:
         cfg = load_hparams(log_checkpoint)
+        paths = ExperimentPaths(Path(log_checkpoint)).create()
         if overrides:
             cfg.merge_from_list(list(overrides))
-        return cfg, ExperimentPaths(Path(log_checkpoint)).create()
+            # Persist resume-time overrides (incl. --precision, which the
+            # train CLI folds in) the same way fresh-run overrides persist:
+            # the NEXT resume/eval reads hparams.yaml, and a checkpoint
+            # written under the overridden config (e.g. a different
+            # compute_dtype) must be reloaded under that config too. Only
+            # the train CLI passes overrides here; eval/mesh never write.
+            save_hparams(cfg, paths)
+        return cfg, paths
 
     from nerfmeshes_tpu.config.schema import load_config
 

@@ -135,14 +135,23 @@ def main():
 
     enable_compilation_cache()
 
+    # "hierarchical" is ALWAYS a list (len 1 for one seed) so consumers
+    # never branch on shape.
     results = {"steps": args.steps, "size": args.size, "scene": args.scene,
-               "seeds": args.seeds, "buff": [], "hierarchical": None}
+               "seeds": args.seeds, "buff": [], "hierarchical": []}
+
+    def checkpoint():
+        # Runs are minutes each and the tunnel compiler can wedge any of
+        # them; persist after every completed run so nothing is lost.
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=2)
+
     if not args.skip_hierarchical:
-        hier = [
-            run_hierarchical(args.steps, args.size, args.scene, args.lr, seed)
-            for seed in args.seeds
-        ]
-        results["hierarchical"] = hier[0] if len(hier) == 1 else hier
+        for seed in args.seeds:
+            results["hierarchical"].append(
+                run_hierarchical(args.steps, args.size, args.scene, args.lr, seed)
+            )
+            checkpoint()
     for cap in args.caps:
         if cap <= 0:  # hierarchical-only invocation (e.g. --caps 0)
             continue
@@ -150,10 +159,7 @@ def main():
             results["buff"].append(
                 run_one(cap, args.steps, args.size, args.scene, args.lr, seed)
             )
-            # Checkpoint partial results (runs are minutes each; a tunnel
-            # wedge shouldn't lose the completed ones).
-            with open(args.out, "w") as fh:
-                json.dump(results, fh, indent=2)
+            checkpoint()
     with open(args.out, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results, indent=2))

@@ -49,6 +49,19 @@ def test_train_cli_resume(tiny_run):
     train_nerf.main(["--log-checkpoint", logdir])
 
 
+def test_train_cli_resume_override_persists(tiny_run):
+    """Overrides given on a RESUME must be written back to hparams.yaml,
+    or the NEXT resume/eval silently reverts them (e.g. a --precision
+    resume trains bf16 but a later eval rebuilds the models in f32)."""
+    root, _, logdir = tiny_run
+    train_nerf.main(
+        ["--log-checkpoint", logdir,
+         "--override", "experiment.print_every", "7"]
+    )
+    flat = yaml.safe_load(open(Path(logdir) / "hparams.yaml"))
+    assert flat["experiment.print_every"] == 7
+
+
 def test_eval_cli(tiny_run, capsys):
     root, _, logdir = tiny_run
     save = root / "eval_out"
