@@ -90,8 +90,13 @@ def ssim(
         z = jnp.moveaxis(z, -1, 0)[:, None]  # (C, 1, H, W)
         kh = g.reshape(1, 1, -1, 1)
         kw = g.reshape(1, 1, 1, -1)
-        z = lax.conv_general_dilated(z, kh, (1, 1), "VALID")
-        z = lax.conv_general_dilated(z, kw, (1, 1), "VALID")
+        # Precision pinned: TPU convs default to bf16 multiplies, whose
+        # ~1e-2 relative error survives the blur(x*x) - mu^2 cancellation
+        # and swamps C2 = 9e-4 — measured SSIM "1.0043" on an 800^2 eval
+        # view. f32 convs match an f64 reference to ~5e-7.
+        hi = lax.Precision.HIGHEST
+        z = lax.conv_general_dilated(z, kh, (1, 1), "VALID", precision=hi)
+        z = lax.conv_general_dilated(z, kw, (1, 1), "VALID", precision=hi)
         return jnp.moveaxis(z[:, 0], 0, -1)
 
     mu_x, mu_y = blur(x), blur(y)
