@@ -566,6 +566,14 @@ class BuFFSystem(NeRFSystem):
             self.logger._tb, step, np.asarray(self.tree_state.memm), active
         )
 
+    def mesh_mask_aabbs(self) -> "np.ndarray":
+        """(V, 2, 3) active-leaf AABBs — the field's supervised support.
+        The mesh path (mesh/extract.py) restricts extraction to these:
+        density outside the tree is never sampled by a training chord, so
+        it is unconstrained and sheds floaters (the reference's mesh path
+        would inherit the same artifact for its BuFF model)."""
+        return np.stack([np.stack([l.lo, l.hi]) for l in self.tree.leaves])
+
     def checkpoint_extra(self) -> dict:
         return {"tree": self.tree.serialize(self.tree_state)}
 

@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Points per device tile (the reference default of "
                         "1024 starves the MXU; 64k keeps it fed)")
     parser.add_argument("--no-view-dependence", action="store_true", default=False)
+    parser.add_argument(
+        "--no-tree-mask", action="store_true", default=False,
+        help="(BuFF runs) keep geometry outside the tree's active voxels "
+        "too; by default extraction is masked to the tree's support, "
+        "where the field was actually supervised (kills floaters).",
+    )
     parser.add_argument("--view-disparity", type=float, default=1e-2)
     parser.add_argument("--view-disparity-max-bound", type=float, default=4.0)
     parser.add_argument("--use-cached-mesh", action="store_true", default=False)
@@ -61,6 +67,7 @@ def main(argv=None) -> None:
         super_sampling=args.super_sampling,
         batch_size=args.batch_size,
         no_view_dependence=args.no_view_dependence,
+        tree_mask=not args.no_tree_mask,
         view_disparity=args.view_disparity,
         view_disparity_max_bound=args.view_disparity_max_bound,
         use_cached_mesh=args.use_cached_mesh,

@@ -49,6 +49,12 @@ class MeshArgs:
     # drifts UP as the density field sharpens with training, eroding
     # thin geometry; see scripts/iso_sweep.py).
     clamp_iso: bool = True
+    # Restrict extraction to the acceleration structure's support when
+    # the system exposes one (BuFFSystem.mesh_mask_aabbs): a BuFF field
+    # is only supervised where tree chords sample it, so density outside
+    # the active voxels is unconstrained and sheds floaters (measured:
+    # chamfer 0.061 -> see BASELINE.md). No effect on NeRFSystem runs.
+    tree_mask: bool = True
 
 
 def _mesh_size(mesh) -> int:
@@ -206,9 +212,39 @@ class SparseDensityGrid:
         return dense
 
 
+def _support_keep_mask(
+    mask_aabbs: np.ndarray, limit: float, res: int, cells_per_block: int
+) -> np.ndarray:
+    """(B, B, B) bool: blocks overlapping ANY support AABB.
+
+    No dilation: every block a support-interior crossing cell touches
+    already overlaps the AABB itself (rasterization rounds outward by one
+    cell), and a dilation ring would re-admit real out-of-support density
+    next to the boundary — whose silhouette then marches as a spurious
+    skin against the empty fill one block further out.
+
+    Rasterized per-AABB with slice assignment (V tiny cuboid writes)
+    instead of a (B^3, V, 3) broadcast — this host's numpy is slow and the
+    broadcast would build multi-GB intermediates at 480^3/V=4096."""
+    B = res // cells_per_block
+    scale = 2.0 * limit / max(res - 1, 1)
+    keep = np.zeros((B, B, B), bool)
+    lo = np.asarray(mask_aabbs[:, 0], np.float64)
+    hi = np.asarray(mask_aabbs[:, 1], np.float64)
+    # Grid index range each AABB covers (cell i sits at -limit + i*scale),
+    # then the block range containing those cells.
+    i_lo = np.clip(np.floor((lo + limit) / scale), 0, res - 1).astype(np.int64)
+    i_hi = np.clip(np.ceil((hi + limit) / scale), 0, res - 1).astype(np.int64)
+    k_lo = i_lo // cells_per_block
+    k_hi = i_hi // cells_per_block
+    for (x0, y0, z0), (x1, y1, z1) in zip(k_lo, k_hi):
+        keep[x0 : x1 + 1, y0 : y1 + 1, z0 : z1 + 1] = True
+    return keep
+
+
 def _sparse_density_extract(
     density_fn, limit: float, res: int, iso_level: float, *, tile: int = 262144,
-    density_params=None, mesh=None, clamp_iso: bool = True,
+    density_params=None, mesh=None, clamp_iso: bool = True, mask_aabbs=None,
 ) -> Tuple[SparseDensityGrid, float]:
     """Density grid via sparse block transfer -> (SparseDensityGrid, iso).
 
@@ -352,6 +388,16 @@ def _sparse_density_extract(
     t_blocks3 = time.time()
     bmin_own, bminh, bmaxh = blocks3[0], blocks3[1], blocks3[2]
     fetch = (bminh <= iso) & (bmaxh >= iso)  # (B, B, B) halo straddle
+    if mask_aabbs is not None and len(mask_aabbs):
+        keep = _support_keep_mask(mask_aabbs, limit, res, 8)
+        LAST_TIMINGS["tree_masked_blocks"] = int((fetch & ~keep).sum())
+        fetch &= keep
+        # Masked-away blocks must read as EMPTY space, not their own min:
+        # the unmasked invariant "unfetched blocks are one-sided" breaks
+        # once straddling blocks are dropped, and two adjacent constant
+        # fills on opposite sides of iso would march a spurious
+        # block-resolution skin at the floater's silhouette.
+        bmin_own = np.where(keep, bmin_own, min(mn, iso) - 1.0)
     idx = np.flatnonzero(fetch)
     pad_to = max(4096, -(-idx.size // 4096) * 4096)
     idx_p = np.zeros(pad_to, np.int32)
@@ -406,7 +452,7 @@ def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
 
 def extract_geometry(
     sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None,
-    mesh=None,
+    mesh=None, mask_aabbs=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """(vertices in world coords, triangles, normals, density grid)
     (reference: src/mesh_nerf.py:68-92).
@@ -419,11 +465,14 @@ def extract_geometry(
     callers needing ndarray semantics on the density must convert."""
     import time
 
+    if not getattr(args, "tree_mask", True):
+        mask_aabbs = None
     if density_fn is not None and args.res % 8 == 0 and args.res >= 32:
         density, iso_value = _sparse_density_extract(
             density_fn, args.limit, args.res, args.iso_level,
             density_params=density_params, mesh=mesh,
             clamp_iso=getattr(args, "clamp_iso", True),
+            mask_aabbs=mask_aabbs,
         )
     else:
         if density_fn is not None and density_params is not None:
@@ -443,6 +492,14 @@ def extract_geometry(
                 density_max=float(density.max()),
                 density_std=float(density.std()),
             )
+        if mask_aabbs is not None and len(mask_aabbs):
+            # Dense-path equivalent of the sparse block mask, at 1-cell
+            # granularity (the dense path only runs at small res).
+            keep = _support_keep_mask(mask_aabbs, args.limit, args.res, 1)
+            LAST_TIMINGS["tree_masked_blocks"] = int(
+                ((density > iso_value) & ~keep).sum()
+            )
+            density = np.where(keep, density, min(float(density.min()), iso_value) - 1.0)
     t0 = time.time()
     vertices, triangles, normals = marching_cubes(density, iso_value)
     LAST_TIMINGS["marching_cubes_s"] = time.time() - t0
@@ -534,6 +591,10 @@ def export_marching_cubes(
         else:
             dkw = dict(density_fn=getattr(system, "density_points", None))
         dkw["mesh"] = getattr(system, "mesh", None)
+        # Acceleration-structure support (BuFFSystem.mesh_mask_aabbs):
+        # restrict extraction to where the field was actually supervised.
+        if geometry_fn is extract_geometry and hasattr(system, "mesh_mask_aabbs"):
+            dkw["mask_aabbs"] = system.mesh_mask_aabbs()
         vertices, triangles, normals, density = geometry_fn(
             system.sample_points, args, **dkw
         )

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--isos", type=float, nargs="+",
                     default=[10.0, 20.0, 30.0, 50.0, 80.0])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--no-tree-mask", action="store_true", default=False,
+                    help="(BuFF) disable masking extraction to the tree's "
+                    "active-voxel support.")
     args = ap.parse_args()
 
     from nerfmeshes_tpu.utils.jax_setup import enable_compilation_cache
@@ -94,6 +97,11 @@ def main():
             density_fn=system.density_apply,
             density_params=system.finest_params,
             mesh=getattr(system, "mesh", None),
+            mask_aabbs=(
+                system.mesh_mask_aabbs()
+                if not args.no_tree_mask and hasattr(system, "mesh_mask_aabbs")
+                else None
+            ),
         )
         if len(faces) == 0:
             rows.append({"iso_requested": iso, "empty": True})

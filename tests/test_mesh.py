@@ -354,3 +354,48 @@ def test_export_ply_binary_roundtrip(tmp_path):
     )
     assert (fdata["count"] == 3).all()
     np.testing.assert_array_equal(fdata["idx"], tris)
+
+
+def test_tree_mask_kills_floaters_sparse_and_dense():
+    """mask_aabbs restricts extraction to the acceleration structure's
+    support: a floater blob outside the mask produces NO geometry, the
+    in-support surface is untouched, and no block-resolution skin appears
+    at the masked floater's silhouette (its fill must read as empty)."""
+    import jax.numpy as jnp
+
+    from nerfmeshes_tpu.mesh.extract import MeshArgs, extract_geometry
+
+    limit = 1.2
+    floater_c = np.array([0.9, 0.9, 0.9], np.float32)
+
+    def density_fn(pts):
+        r1 = jnp.linalg.norm(pts, axis=-1)
+        r2 = jnp.linalg.norm(pts - floater_c, axis=-1)
+        return 80.0 * jnp.maximum(0.45 - r1, 0.0) + 80.0 * jnp.maximum(
+            0.18 - r2, 0.0
+        )
+
+    mask = np.array([[[-0.6, -0.6, -0.6], [0.6, 0.6, 0.6]]], np.float32)
+
+    for res in (48, 24):  # res=48 -> sparse block path; res=24 -> dense path
+        base = dict(density_fn=density_fn)
+        args = MeshArgs(res=res, limit=limit, iso_level=1.0, clamp_iso=False)
+        v_all, t_all, _, _ = extract_geometry(lambda p, d: None, args, **base)
+        v_msk, t_msk, _, _ = extract_geometry(
+            lambda p, d: None, args, mask_aabbs=mask, **base
+        )
+        r_all = np.linalg.norm(v_all, axis=-1)
+        r_msk = np.linalg.norm(v_msk, axis=-1)
+        # Unmasked extraction sees the floater; masked does not.
+        assert (r_all > 0.8).any(), res
+        assert len(v_msk) and (r_msk < 0.8).all(), (res, r_msk.max())
+        # The in-support sphere is identical in both (same vert count for
+        # the central component: count verts inside r<0.8 on each side).
+        assert (r_all < 0.8).sum() == len(v_msk), res
+        # tree_mask=False restores the unmasked result.
+        args_off = MeshArgs(res=res, limit=limit, iso_level=1.0,
+                            clamp_iso=False, tree_mask=False)
+        v_off, _, _, _ = extract_geometry(
+            lambda p, d: None, args_off, mask_aabbs=mask, **base
+        )
+        assert len(v_off) == len(v_all), res
