@@ -19,7 +19,9 @@
 // Grid layout: grid[(x*ny + y)*nz + z] (C-order, axis order x,y,z like
 // numpy .reshape(nx,ny,nz)); vertex coordinates are in grid-index space.
 
+#include <charconv>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cmath>
 #include <cstring>
@@ -423,6 +425,83 @@ void mt_fill_blocks(float* dense, int64_t res, int64_t B, const float* fill,
                     dense + (((bx * 8 + i) * res) + by * 8 + j) * res + bz * 8,
                     src + (i * 8 + j) * 8, 8 * sizeof(float));
     }
+}
+
+// Fast ASCII OBJ writer (same `v x y z [r g b]` / `vn` / `f i//i` layout
+// as mesh/export.py:export_obj and the reference's
+// src/nerf/nerf_helpers.py:86-111). The python per-row format loop runs
+// ~150k lines/s on this host — a 41s tail for a 2.1M-vert flagship mesh.
+// std::to_chars emits the SHORTEST round-trip decimal for each float32
+// (the same value-preserving text python's repr produces) and is ~10x
+// faster than printf %g conversion; everything lands in one app-side
+// buffer flushed with fwrite. `diffuse` may be null (then no colors),
+// `normals`/`faces` counts may be zero. Returns 0 on success, -1 if the
+// file cannot be opened.
+namespace {
+struct ObjBuf {
+    FILE* f;
+    std::vector<char> buf;
+    size_t pos = 0;
+    explicit ObjBuf(FILE* file) : f(file), buf(1 << 22) {}
+    inline void flush() { if (pos) { std::fwrite(buf.data(), 1, pos, f); pos = 0; } }
+    inline char* reserve(size_t n) {
+        if (pos + n > buf.size()) flush();
+        return buf.data() + pos;
+    }
+    inline void advance(char* end) { pos = end - buf.data(); }
+};
+inline char* put_f32(char* p, float v) {
+    auto r = std::to_chars(p, p + 48, v);
+    return r.ptr;
+}
+inline char* put_i32(char* p, int32_t v) {
+    auto r = std::to_chars(p, p + 16, v);
+    return r.ptr;
+}
+}  // namespace
+
+int64_t obj_write(const char* path, const float* verts, int64_t nv,
+                  const float* diffuse, const float* normals, int64_t nn,
+                  const int32_t* faces, int64_t nf) {
+    FILE* f = std::fopen(path, "w");
+    if (!f) return -1;
+    ObjBuf out(f);
+    for (int64_t i = 0; i < nv; i++) {
+        const float* v = verts + i * 3;
+        char* p = out.reserve(320);
+        *p++ = 'v';
+        for (int k = 0; k < 3; k++) { *p++ = ' '; p = put_f32(p, v[k]); }
+        if (diffuse) {
+            const float* c = diffuse + i * 3;
+            for (int k = 0; k < 3; k++) { *p++ = ' '; p = put_f32(p, c[k]); }
+        }
+        *p++ = '\n';
+        out.advance(p);
+    }
+    for (int64_t i = 0; i < nn; i++) {
+        const float* n = normals + i * 3;
+        char* p = out.reserve(192);
+        *p++ = 'v'; *p++ = 'n';
+        for (int k = 0; k < 3; k++) { *p++ = ' '; p = put_f32(p, n[k]); }
+        *p++ = '\n';
+        out.advance(p);
+    }
+    for (int64_t i = 0; i < nf; i++) {
+        const int32_t* t = faces + i * 3;
+        char* p = out.reserve(96);
+        *p++ = 'f';
+        for (int k = 0; k < 3; k++) {
+            *p++ = ' ';
+            p = put_i32(p, t[k] + 1);
+            *p++ = '/'; *p++ = '/';
+            p = put_i32(p, t[k] + 1);
+        }
+        *p++ = '\n';
+        out.advance(p);
+    }
+    out.flush();
+    std::fclose(f);
+    return 0;
 }
 
 }  // extern "C"

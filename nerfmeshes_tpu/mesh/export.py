@@ -17,6 +17,15 @@ def export_obj(vertices, triangles, diffuse, normals, filename: str) -> None:
     diffuse = np.asarray(diffuse) if diffuse is not None else np.zeros((0, 3))
     normals = np.asarray(normals) if normals is not None else np.zeros((0, 3))
 
+    # Native buffered writer when available (the python format loop runs
+    # ~150k lines/s on this host — a 41s tail on a 2.1M-vert mesh).
+    from nerfmeshes_tpu.mesh.native import obj_write_native
+
+    if triangles.ndim == 2 and triangles.shape[1] == 3 and obj_write_native(
+        filename, vertices, diffuse if len(diffuse) else None, normals, triangles
+    ):
+        return
+
     with open(filename, "w") as fh:
         for index, v in enumerate(vertices):
             fh.write("v {} {} {}".format(*v))

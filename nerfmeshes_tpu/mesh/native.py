@@ -79,6 +79,17 @@ def _build() -> Optional[ctypes.CDLL]:
             ]
         except AttributeError:
             pass
+        try:
+            lib.obj_write.restype = ctypes.c_int64
+            lib.obj_write.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ]
+        except AttributeError:
+            pass
         return lib
     except Exception:
         _build_failed = True
@@ -129,6 +140,37 @@ def marching_tetrahedra_native(
         lib.mt_free(tris_p)
         lib.mt_free(normals_p)
     return verts, tris, normals
+
+
+def obj_write_native(
+    filename: str, vertices: np.ndarray, diffuse: Optional[np.ndarray],
+    normals: np.ndarray, triangles: np.ndarray,
+) -> bool:
+    """Buffered-fprintf OBJ writer; False if the lib is unavailable (the
+    caller falls back to the python loop). Same file layout as
+    export.py:export_obj; %.9g round-trips float32 exactly."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "obj_write"):
+        return False
+    verts = np.ascontiguousarray(vertices, np.float32)
+    tris = np.ascontiguousarray(triangles, np.int32)
+    norms = np.ascontiguousarray(normals, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    if diffuse is not None and len(diffuse) == len(verts):
+        diff = np.ascontiguousarray(diffuse, np.float32)
+        diff_p = diff.ctypes.data_as(fp)
+    elif diffuse is None or len(diffuse) == 0:
+        diff_p = fp()
+    else:
+        return False  # partial colors: only the python loop handles that
+    rc = lib.obj_write(
+        str(filename).encode(),
+        verts.ctypes.data_as(fp), len(verts),
+        diff_p,
+        norms.ctypes.data_as(fp), len(norms),
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(tris),
+    )
+    return rc == 0
 
 
 def marching_sparse_native(
