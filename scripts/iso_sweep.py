@@ -119,6 +119,7 @@ def main():
             "density_max": LAST_TIMINGS.get("density_max"),
             "density_std": LAST_TIMINGS.get("density_std"),
             "verts": int(len(verts)),
+            "tree_masked_blocks": LAST_TIMINGS.get("tree_masked_blocks"),
             "chamfer_sq": ch,
             "chamfer_rms": float(np.sqrt(ch / 2.0)),
             "wall_s": time.time() - t0,
