@@ -40,9 +40,28 @@ def _watchdog() -> None:
     compile (a subsequent compile hangs on a futex forever; the same
     kernel compiles in seconds on a fresh process — see CLAUDE.md). The
     driver's benchmark record must survive that, so the parent re-execs
-    itself and retries once if the child hangs or dies."""
+    itself and retries once if the child hangs or dies.
+
+    Worse failure mode (seen r3): the tunnel RELAY process dies outright,
+    after which every jax call hangs forever — retries wedge identically
+    and would burn the full 2x900s here. Preflight the relay's listen
+    port when the axon env is present and fail fast with a diagnostic."""
     import os
+    import socket
     import subprocess
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        try:
+            socket.create_connection(("127.0.0.1", 8082), timeout=5).close()
+        except OSError as exc:
+            print(
+                "bench: TPU tunnel relay port 8082 refuses connections "
+                f"({exc!r}) — the relay process is dead and every jax call "
+                "would hang; not launching the child. Restore the tunnel "
+                "(driver-side) and rerun.",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
     env = dict(os.environ, NERFMESHES_BENCH_CHILD="1")
     for attempt in range(2):

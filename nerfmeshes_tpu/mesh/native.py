@@ -146,9 +146,10 @@ def obj_write_native(
     filename: str, vertices: np.ndarray, diffuse: Optional[np.ndarray],
     normals: np.ndarray, triangles: np.ndarray,
 ) -> bool:
-    """Buffered-fprintf OBJ writer; False if the lib is unavailable (the
-    caller falls back to the python loop). Same file layout as
-    export.py:export_obj; %.9g round-trips float32 exactly."""
+    """Buffered OBJ writer; False if the lib is unavailable (the caller
+    falls back to the python loop). Same file layout as
+    export.py:export_obj; std::to_chars emits the shortest decimal that
+    round-trips each float32 exactly."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "obj_write"):
         return False

@@ -399,3 +399,41 @@ def test_tree_mask_kills_floaters_sparse_and_dense():
             lambda p, d: None, args_off, mask_aabbs=mask, **base
         )
         assert len(v_off) == len(v_all), res
+
+
+def test_obj_native_writer_matches_python_path(tmp_path, monkeypatch):
+    """export_obj's native writer (native/marching.cpp:obj_write) and the
+    python fallback loop must produce value-identical files: both emit a
+    shortest round-trip decimal per float32, so re-importing either file
+    recovers the exact float32 bits. Exercised with adversarial values
+    (subnormal-ish tiny, huge, negative zero, exact integers)."""
+    from nerfmeshes_tpu.mesh import native as mnative
+
+    if mnative.get_lib() is None or not hasattr(mnative.get_lib(), "obj_write"):
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(3)
+    verts = rng.standard_normal((257, 3)).astype(np.float32)
+    verts[0] = [1e-30, -1e30, 0.0]
+    verts[1] = [-0.0, 1.0, -2.0]
+    verts[2] = [3.0, 1.0 / 3.0, np.float32(np.pi)]
+    colors = rng.uniform(size=(257, 3)).astype(np.float32)
+    normals = rng.standard_normal((257, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    tris = rng.integers(0, 257, size=(301, 3)).astype(np.int32)
+
+    p_nat = tmp_path / "native.obj"
+    export_obj(verts, tris, colors, normals, str(p_nat))
+
+    p_py = tmp_path / "python.obj"
+    # export.py imports obj_write_native inside the function body, so
+    # patching the attribute on mesh.native forces the python loop.
+    monkeypatch.setattr(mnative, "obj_write_native", lambda *a, **k: False)
+    export_obj(verts, tris, colors, normals, str(p_py))
+
+    for path in (p_nat, p_py):
+        v2, t2, c2, n2 = import_obj(str(path))
+        np.testing.assert_array_equal(v2, verts, err_msg=str(path))
+        np.testing.assert_array_equal(t2, tris, err_msg=str(path))
+        np.testing.assert_array_equal(c2, colors, err_msg=str(path))
+        np.testing.assert_array_equal(n2, normals, err_msg=str(path))
