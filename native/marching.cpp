@@ -442,8 +442,14 @@ struct ObjBuf {
     FILE* f;
     std::vector<char> buf;
     size_t pos = 0;
+    bool ok = true;  // any short fwrite (disk full, quota) latches false
     explicit ObjBuf(FILE* file) : f(file), buf(1 << 22) {}
-    inline void flush() { if (pos) { std::fwrite(buf.data(), 1, pos, f); pos = 0; } }
+    inline void flush() {
+        if (pos) {
+            if (std::fwrite(buf.data(), 1, pos, f) != pos) ok = false;
+            pos = 0;
+        }
+    }
     inline char* reserve(size_t n) {
         if (pos + n > buf.size()) flush();
         return buf.data() + pos;
@@ -500,8 +506,12 @@ int64_t obj_write(const char* path, const float* verts, int64_t nv,
         out.advance(p);
     }
     out.flush();
-    std::fclose(f);
-    return 0;
+    // A truncated OBJ must not report success: the python caller treats a
+    // nonzero rc as "fall back to the python writer" (which raises OSError
+    // on the same full disk instead of silently shipping a partial mesh).
+    bool ok = out.ok && !std::ferror(f);
+    if (std::fclose(f) != 0) ok = false;
+    return ok ? 0 : -2;
 }
 
 }  // extern "C"

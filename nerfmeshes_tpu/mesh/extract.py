@@ -215,7 +215,21 @@ class SparseDensityGrid:
 def _support_keep_mask(
     mask_aabbs: np.ndarray, limit: float, res: int, cells_per_block: int
 ) -> np.ndarray:
-    """(B, B, B) bool: blocks overlapping ANY support AABB.
+    """(B, B, B) bool keep mask: blocks overlapping ANY support AABB,
+    plus regions fully ENCLOSED by support (hole filling).
+
+    Hole filling matters because BuFF trees prune object interiors
+    (transmittance past the surface is ~0, so interior chords carry no
+    weight): masking a solid interior to empty fill would march a
+    spurious block-face skin one cell behind the real surface at every
+    fetched-block/masked-interior face. An enclosed cavity cannot shed
+    an outside-connected floater, so keeping it is safe — the empty fill
+    then only ever borders the support's OUTER silhouette, where it
+    correctly caps the supervised region.
+
+    AABBs that do not overlap the grid at all are skipped: clipping them
+    onto boundary blocks would punch permanent keep-holes along every
+    grid face they project onto.
 
     No dilation: every block a support-interior crossing cell touches
     already overlaps the AABB itself (rasterization rounds outward by one
@@ -231,6 +245,8 @@ def _support_keep_mask(
     keep = np.zeros((B, B, B), bool)
     lo = np.asarray(mask_aabbs[:, 0], np.float64)
     hi = np.asarray(mask_aabbs[:, 1], np.float64)
+    overlaps = (hi >= -limit).all(axis=1) & (lo <= limit).all(axis=1)
+    lo, hi = lo[overlaps], hi[overlaps]
     # Grid index range each AABB covers (cell i sits at -limit + i*scale),
     # then the block range containing those cells.
     i_lo = np.clip(np.floor((lo + limit) / scale), 0, res - 1).astype(np.int64)
@@ -239,6 +255,10 @@ def _support_keep_mask(
     k_hi = i_hi // cells_per_block
     for (x0, y0, z0), (x1, y1, z1) in zip(k_lo, k_hi):
         keep[x0 : x1 + 1, y0 : y1 + 1, z0 : z1 + 1] = True
+    if keep.any() and not keep.all():
+        from scipy import ndimage  # ships with jax
+
+        keep = ndimage.binary_fill_holes(keep)
     return keep
 
 
@@ -314,13 +334,24 @@ def _sparse_density_extract(
     flat_eval = maybe_shard(flat_eval, mesh, (P(),), P(None, DATA_AXIS))
 
     @jax.jit
-    def stage1(params):
+    def stage1(params, keep_blocks):
         flat = flat_eval(params).reshape(-1)[:n]
         sigma = flat.reshape(res, res, res).astype(jnp.float16)
-        # Adaptive iso stats (extract_iso_level) on device: scalars only.
+        # Adaptive iso stats (extract_iso_level) on device: scalars only,
+        # over the SUPPORT-kept cells (keep_blocks is all-True without a
+        # mask): density in regions the mask will discard must not drive
+        # the clamp — a huge unsupervised floater would inflate std and
+        # erode thin real geometry via min+std.
+        keepc = jnp.broadcast_to(
+            keep_blocks[:, None, :, None, :, None], (B, 8, B, 8, B, 8)
+        ).reshape(-1)
         s32 = flat
-        mean = jnp.mean(s32)
-        var = jnp.maximum(jnp.mean(s32 * s32) - mean * mean, 0.0)
+        big = jnp.float32(np.finfo(np.float32).max)
+        cnt = jnp.maximum(jnp.sum(keepc.astype(jnp.float32)), 1.0)
+        mean = jnp.sum(jnp.where(keepc, s32, 0.0)) / cnt
+        var = jnp.maximum(
+            jnp.sum(jnp.where(keepc, s32 * s32, 0.0)) / cnt - mean * mean, 0.0
+        )
         # Per-block stats by separable reshape-reduce (layout-friendly:
         # no strided windows), then a 3^3-neighborhood dilation on the
         # tiny (B,B,B) array. The dilated range is a superset of the
@@ -347,7 +378,11 @@ def _sparse_density_extract(
         # One stacked host transfer: scalars + the three block-stat grids
         # (separate fetches each pay the ~100ms tunnel round-trip).
         stats = jnp.stack(
-            [flat.min(), flat.max(), jnp.sqrt(var)]
+            [
+                jnp.min(jnp.where(keepc, s32, big)),
+                jnp.max(jnp.where(keepc, s32, -big)),
+                jnp.sqrt(var),
+            ]
         ).astype(jnp.float32)
         blocks3 = jnp.stack(
             [bmin_own.astype(jnp.float32), bmin.astype(jnp.float32),
@@ -355,8 +390,19 @@ def _sparse_density_extract(
         )
         return sigma, stats, blocks3
 
+    keep = None
+    if mask_aabbs is not None and len(mask_aabbs):
+        keep = _support_keep_mask(mask_aabbs, limit, res, 8)
+        if not keep.any():
+            print(
+                "mesh: support mask does not overlap the grid — extraction "
+                "will be empty (check --limit vs the tree's extent).",
+                flush=True,
+            )
+    keep_arg = jnp.asarray(np.ones((B, B, B), bool) if keep is None else keep)
+
     t0 = time.time()
-    sigma_dev, stats_dev, blocks3_dev = stage1(density_params)
+    sigma_dev, stats_dev, blocks3_dev = stage1(density_params, keep_arg)
     # Through the TPU tunnel, block_until_ready returns before the remote
     # program has actually finished (r3: 8.9s "ready" vs a 260.9s first
     # value fetch); a VALUE readback is the only honest completion
@@ -373,6 +419,7 @@ def _sparse_density_extract(
     # Diagnostics for the adaptive clamp (mesh quality is sensitive to the
     # effective iso drifting up as the density field sharpens with
     # training — std grows, so min+std can exceed the requested level).
+    # With a support mask these stats cover the KEPT cells only.
     LAST_TIMINGS.update(
         iso_requested=float(iso_level), iso_effective=iso,
         density_min=mn, density_max=mx, density_std=std,
@@ -388,15 +435,17 @@ def _sparse_density_extract(
     t_blocks3 = time.time()
     bmin_own, bminh, bmaxh = blocks3[0], blocks3[1], blocks3[2]
     fetch = (bminh <= iso) & (bmaxh >= iso)  # (B, B, B) halo straddle
-    if mask_aabbs is not None and len(mask_aabbs):
-        keep = _support_keep_mask(mask_aabbs, limit, res, 8)
+    if keep is not None:
         LAST_TIMINGS["tree_masked_blocks"] = int((fetch & ~keep).sum())
         fetch &= keep
-        # Masked-away blocks must read as EMPTY space, not their own min:
-        # the unmasked invariant "unfetched blocks are one-sided" breaks
-        # once straddling blocks are dropped, and two adjacent constant
-        # fills on opposite sides of iso would march a spurious
-        # block-resolution skin at the floater's silhouette.
+        # Masked-away blocks read as EMPTY space, not their own min: the
+        # unmasked invariant "unfetched blocks are one-sided" breaks once
+        # straddling blocks are dropped, and two adjacent constant fills
+        # on opposite sides of iso would march a spurious block-resolution
+        # skin at the floater's silhouette. Because keep is hole-filled
+        # (object interiors stay kept), the empty fill only ever borders
+        # the support's outer silhouette, where it caps the supervised
+        # region — not a backing skin behind the real surface.
         bmin_own = np.where(keep, bmin_own, min(mn, iso) - 1.0)
     idx = np.flatnonzero(fetch)
     pad_to = max(4096, -(-idx.size // 4096) * 4096)
@@ -450,6 +499,45 @@ def extract_iso_level(density: np.ndarray, iso_level: float) -> float:
     return iso
 
 
+def _mask_dense_density(
+    density: np.ndarray, args: MeshArgs, mask_aabbs
+) -> Tuple[np.ndarray, float]:
+    """Dense-path equivalent of the sparse support mask, at 1-cell
+    granularity (the dense path only runs at small res): clamp stats are
+    taken over the KEPT cells only, then out-of-support cells are set to
+    empty fill. Returns (masked density, iso). keep is hole-filled, so
+    the fill only borders the support's outer silhouette (see
+    _support_keep_mask)."""
+    keep = None
+    if mask_aabbs is not None and len(mask_aabbs):
+        keep = _support_keep_mask(mask_aabbs, args.limit, args.res, 1)
+        if not keep.any():
+            print(
+                "mesh: support mask does not overlap the grid — extraction "
+                "will be empty (check --limit vs the tree's extent).",
+                flush=True,
+            )
+    stats_src = density[keep] if (keep is not None and keep.any()) else density
+    if getattr(args, "clamp_iso", True):
+        iso_value = extract_iso_level(stats_src, args.iso_level)
+    else:
+        iso_value = float(args.iso_level)
+        LAST_TIMINGS.update(
+            iso_requested=iso_value, iso_effective=iso_value,
+            density_min=float(stats_src.min()),
+            density_max=float(stats_src.max()),
+            density_std=float(stats_src.std()),
+        )
+    if keep is not None:
+        LAST_TIMINGS["tree_masked_blocks"] = int(
+            ((density > iso_value) & ~keep).sum()
+        )
+        density = np.where(
+            keep, density, min(float(stats_src.min()), iso_value) - 1.0
+        )
+    return density, iso_value
+
+
 def extract_geometry(
     sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None,
     mesh=None, mask_aabbs=None,
@@ -482,24 +570,7 @@ def extract_geometry(
             sample_points_fn, args.limit, args.res, density_fn=density_fn,
             mesh=mesh,
         )
-        if getattr(args, "clamp_iso", True):
-            iso_value = extract_iso_level(density, args.iso_level)
-        else:
-            iso_value = float(args.iso_level)
-            LAST_TIMINGS.update(
-                iso_requested=iso_value, iso_effective=iso_value,
-                density_min=float(density.min()),
-                density_max=float(density.max()),
-                density_std=float(density.std()),
-            )
-        if mask_aabbs is not None and len(mask_aabbs):
-            # Dense-path equivalent of the sparse block mask, at 1-cell
-            # granularity (the dense path only runs at small res).
-            keep = _support_keep_mask(mask_aabbs, args.limit, args.res, 1)
-            LAST_TIMINGS["tree_masked_blocks"] = int(
-                ((density > iso_value) & ~keep).sum()
-            )
-            density = np.where(keep, density, min(float(density.min()), iso_value) - 1.0)
+        density, iso_value = _mask_dense_density(density, args, mask_aabbs)
     t0 = time.time()
     vertices, triangles, normals = marching_cubes(density, iso_value)
     LAST_TIMINGS["marching_cubes_s"] = time.time() - t0
@@ -510,7 +581,7 @@ def extract_geometry(
 
 def extract_geometry_with_super_sampling(
     sample_points_fn, args: MeshArgs, *, density_fn=None, density_params=None,
-    mesh=None,
+    mesh=None, mask_aabbs=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Axis-wise super-sampled extraction.
 
@@ -518,10 +589,13 @@ def extract_geometry_with_super_sampling(
     (src/mesh_nerf.py:95-128 raises NotImplementedError); here it works:
     the grid is evaluated at higher resolution along each axis in turn and
     the three density grids are averaged after downsampling back, cheaply
-    anti-aliasing the field before extraction.
+    anti-aliasing the field before extraction. The support mask applies
+    at the base resolution, same semantics as extract_geometry.
     """
     s = args.super_sampling
     assert s >= 1
+    if not getattr(args, "tree_mask", True):
+        mask_aabbs = None
     if density_fn is not None and density_params is not None:
         fn, p = density_fn, density_params
         density_fn = lambda pts: fn(p, pts)  # noqa: E731
@@ -548,7 +622,7 @@ def extract_geometry_with_super_sampling(
         out = out / (1 + s)
         acc += np.moveaxis(out, 0, axis)
     density = acc / 3.0
-    iso_value = extract_iso_level(density, args.iso_level)
+    density, iso_value = _mask_dense_density(density, args, mask_aabbs)
     vertices, triangles, normals = marching_cubes(density, iso_value)
     vertices = args.limit * (vertices / (args.res / 2.0) - 1.0)
     return vertices.astype(np.float32), triangles, normals, density
@@ -593,7 +667,8 @@ def export_marching_cubes(
         dkw["mesh"] = getattr(system, "mesh", None)
         # Acceleration-structure support (BuFFSystem.mesh_mask_aabbs):
         # restrict extraction to where the field was actually supervised.
-        if geometry_fn is extract_geometry and hasattr(system, "mesh_mask_aabbs"):
+        # Both geometry paths (plain + super-sampling) accept the mask.
+        if hasattr(system, "mesh_mask_aabbs"):
             dkw["mask_aabbs"] = system.mesh_mask_aabbs()
         vertices, triangles, normals, density = geometry_fn(
             system.sample_points, args, **dkw

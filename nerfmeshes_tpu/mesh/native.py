@@ -156,9 +156,17 @@ def obj_write_native(
     verts = np.ascontiguousarray(vertices, np.float32)
     tris = np.ascontiguousarray(triangles, np.int32)
     norms = np.ascontiguousarray(normals, np.float32)
+    # The C side strides by exactly 3 floats/row: anything else ((N,4)
+    # RGBA colors, flat arrays) must take the python path, which formats
+    # row[:3] correctly, rather than read misaligned memory.
+    for arr in (verts, tris, norms):
+        if arr.ndim != 2 or (len(arr) and arr.shape[1] != 3):
+            return False
     fp = ctypes.POINTER(ctypes.c_float)
-    if diffuse is not None and len(diffuse) == len(verts):
+    if diffuse is not None and len(diffuse) == len(verts) and len(verts):
         diff = np.ascontiguousarray(diffuse, np.float32)
+        if diff.ndim != 2 or diff.shape[1] != 3:
+            return False
         diff_p = diff.ctypes.data_as(fp)
     elif diffuse is None or len(diffuse) == 0:
         diff_p = fp()

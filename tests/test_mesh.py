@@ -437,3 +437,73 @@ def test_obj_native_writer_matches_python_path(tmp_path, monkeypatch):
         np.testing.assert_array_equal(t2, tris, err_msg=str(path))
         np.testing.assert_array_equal(c2, colors, err_msg=str(path))
         np.testing.assert_array_equal(n2, normals, err_msg=str(path))
+
+
+def test_support_keep_mask_skips_out_of_grid_aabbs():
+    """AABBs entirely outside the grid must be skipped, not clipped onto
+    boundary blocks — clipping punched keep-holes along every grid face
+    they projected onto, letting floaters there survive the mask."""
+    from nerfmeshes_tpu.mesh.extract import _support_keep_mask
+
+    out = np.array([[[1.5, 0.0, 0.0], [2.0, 0.5, 0.5]]], np.float32)
+    keep = _support_keep_mask(out, limit=1.2, res=48, cells_per_block=8)
+    assert not keep.any()
+    valid = np.array([[[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]]], np.float32)
+    both = np.concatenate([valid, out])
+    np.testing.assert_array_equal(
+        _support_keep_mask(both, 1.2, 48, 8),
+        _support_keep_mask(valid, 1.2, 48, 8),
+    )
+
+
+def test_tree_mask_keeps_enclosed_interiors():
+    """A support shell enclosing a solid object's interior (BuFF prunes
+    interior voxels — transmittance past the surface is ~0) must neither
+    march a backing skin at the interior boundary nor erode surface
+    patches dipping into the enclosed cavity: the keep mask is
+    hole-filled, so masked extraction equals unmasked exactly."""
+    from nerfmeshes_tpu.mesh.extract import MeshArgs, extract_geometry
+
+    limit = 1.2
+
+    def density_fn(pts):
+        r = jnp.linalg.norm(pts, axis=-1)
+        return 80.0 * jnp.maximum(0.7 - r, 0.0)
+
+    # Six axis slabs covering everything except the cube (-0.45, 0.45)^3:
+    # the solid core is out of rasterized support (and the r=0.7 surface
+    # itself dips into the cavity near its corners), but the cavity is
+    # fully enclosed — hole filling must keep it.
+    slabs = []
+    for ax in range(3):
+        for sgn in (-1, 1):
+            lo, hi = [-1.2] * 3, [1.2] * 3
+            if sgn > 0:
+                lo[ax], hi[ax] = 0.45, 1.2
+            else:
+                lo[ax], hi[ax] = -1.2, -0.45
+            slabs.append([lo, hi])
+    mask = np.asarray(slabs, np.float32)
+
+    for res in (48, 24):  # res=48 -> sparse block path; res=24 -> dense
+        args = MeshArgs(res=res, limit=limit, iso_level=1.0, clamp_iso=False)
+        base = dict(density_fn=density_fn)
+        v_all, t_all, _, _ = extract_geometry(lambda p, d: None, args, **base)
+        v_msk, t_msk, _, _ = extract_geometry(
+            lambda p, d: None, args, mask_aabbs=mask, **base
+        )
+        np.testing.assert_array_equal(v_msk, v_all, err_msg=str(res))
+        np.testing.assert_array_equal(t_msk, t_all, err_msg=str(res))
+
+
+def test_obj_native_writer_rejects_rgba_diffuse(tmp_path):
+    """(N,4) RGBA colors must take the python path (the C writer strides
+    by exactly 3 floats/row); the written file carries the RGB channels."""
+    verts = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0]], np.float32)
+    tris = np.array([[0, 1, 0]], np.int32)
+    rgba = np.array([[0.1, 0.2, 0.3, 1.0], [0.4, 0.5, 0.6, 1.0]], np.float32)
+    path = tmp_path / "rgba.obj"
+    export_obj(verts, tris, rgba, None, str(path))
+    v2, t2, c2, _ = import_obj(str(path))
+    np.testing.assert_array_equal(v2, verts)
+    np.testing.assert_array_equal(c2, rgba[:, :3])
