@@ -212,37 +212,42 @@ class SparseDensityGrid:
         return dense
 
 
-def _support_keep_mask(
+def _support_masks(
     mask_aabbs: np.ndarray, limit: float, res: int, cells_per_block: int
-) -> np.ndarray:
-    """(B, B, B) bool keep mask: blocks overlapping ANY support AABB,
-    plus regions fully ENCLOSED by support (hole filling).
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(support, holes): two (B, B, B) bool masks from the support AABBs.
 
-    Hole filling matters because BuFF trees prune object interiors
-    (transmittance past the surface is ~0, so interior chords carry no
-    weight): masking a solid interior to empty fill would march a
-    spurious block-face skin one cell behind the real surface at every
-    fetched-block/masked-interior face. An enclosed cavity cannot shed
-    an outside-connected floater, so keeping it is safe — the empty fill
-    then only ever borders the support's OUTER silhouette, where it
-    correctly caps the supervised region.
+    `support` — blocks overlapping ANY support AABB: the region training
+    chords actually sampled; extraction marches real density only here.
+    `holes` — regions fully ENCLOSED by support (scipy hole filling).
+    BuFF trees prune object interiors (transmittance past the surface is
+    ~0, so interior chords carry no weight), so a solid object's inside
+    lands here. Callers treat holes as SOLID fill: masking them to empty
+    would march a spurious block-face skin one cell behind the real
+    surface at every support/interior face, and marching their real
+    density would surface whatever garbage the unsupervised field
+    happens to hold inside. Solid fill caps the mesh at the real surface
+    and is safe — an enclosed cavity cannot shed an outside-connected
+    floater. Everything else (outside-connected non-support) reads as
+    EMPTY fill, capping the supervised region at its silhouette.
 
     AABBs that do not overlap the grid at all are skipped: clipping them
-    onto boundary blocks would punch permanent keep-holes along every
+    onto boundary blocks would punch permanent support-holes along every
     grid face they project onto.
 
-    No dilation: every block a support-interior crossing cell touches
-    already overlaps the AABB itself (rasterization rounds outward by one
-    cell), and a dilation ring would re-admit real out-of-support density
-    next to the boundary — whose silhouette then marches as a spurious
-    skin against the empty fill one block further out.
+    No dilation of `support`: every block a support-interior crossing
+    cell touches already overlaps the AABB itself (rasterization rounds
+    outward by one cell), and a dilation ring would re-admit real
+    out-of-support density next to the boundary — whose silhouette then
+    marches as a spurious skin against the empty fill one block further
+    out.
 
     Rasterized per-AABB with slice assignment (V tiny cuboid writes)
     instead of a (B^3, V, 3) broadcast — this host's numpy is slow and the
     broadcast would build multi-GB intermediates at 480^3/V=4096."""
     B = res // cells_per_block
     scale = 2.0 * limit / max(res - 1, 1)
-    keep = np.zeros((B, B, B), bool)
+    support = np.zeros((B, B, B), bool)
     lo = np.asarray(mask_aabbs[:, 0], np.float64)
     hi = np.asarray(mask_aabbs[:, 1], np.float64)
     overlaps = (hi >= -limit).all(axis=1) & (lo <= limit).all(axis=1)
@@ -254,12 +259,13 @@ def _support_keep_mask(
     k_lo = i_lo // cells_per_block
     k_hi = i_hi // cells_per_block
     for (x0, y0, z0), (x1, y1, z1) in zip(k_lo, k_hi):
-        keep[x0 : x1 + 1, y0 : y1 + 1, z0 : z1 + 1] = True
-    if keep.any() and not keep.all():
+        support[x0 : x1 + 1, y0 : y1 + 1, z0 : z1 + 1] = True
+    holes = np.zeros_like(support)
+    if support.any() and not support.all():
         from scipy import ndimage  # ships with jax
 
-        keep = ndimage.binary_fill_holes(keep)
-    return keep
+        holes = ndimage.binary_fill_holes(support) & ~support
+    return support, holes
 
 
 def _sparse_density_extract(
@@ -390,9 +396,9 @@ def _sparse_density_extract(
         )
         return sigma, stats, blocks3
 
-    keep = None
+    keep = holes = None
     if mask_aabbs is not None and len(mask_aabbs):
-        keep = _support_keep_mask(mask_aabbs, limit, res, 8)
+        keep, holes = _support_masks(mask_aabbs, limit, res, 8)
         if not keep.any():
             print(
                 "mesh: support mask does not overlap the grid — extraction "
@@ -438,15 +444,18 @@ def _sparse_density_extract(
     if keep is not None:
         LAST_TIMINGS["tree_masked_blocks"] = int((fetch & ~keep).sum())
         fetch &= keep
-        # Masked-away blocks read as EMPTY space, not their own min: the
-        # unmasked invariant "unfetched blocks are one-sided" breaks once
-        # straddling blocks are dropped, and two adjacent constant fills
-        # on opposite sides of iso would march a spurious block-resolution
-        # skin at the floater's silhouette. Because keep is hole-filled
-        # (object interiors stay kept), the empty fill only ever borders
-        # the support's outer silhouette, where it caps the supervised
-        # region — not a backing skin behind the real surface.
-        bmin_own = np.where(keep, bmin_own, min(mn, iso) - 1.0)
+        # Out-of-support blocks are never fetched; their fill decides what
+        # marching sees across support boundaries. Enclosed holes (object
+        # interiors, pruned from the tree) read SOLID: empty fill would
+        # march a block-face skin behind the real surface, and fetching
+        # their real (unsupervised) density would surface interior
+        # garbage. Outside-connected non-support reads EMPTY, capping the
+        # supervised region at its silhouette (see _support_masks).
+        empty_fill = min(mn, iso) - 1.0
+        solid_fill = max(mx, iso) + 1.0
+        bmin_own = np.where(
+            keep, bmin_own, np.where(holes, solid_fill, empty_fill)
+        )
     idx = np.flatnonzero(fetch)
     pad_to = max(4096, -(-idx.size // 4096) * 4096)
     idx_p = np.zeros(pad_to, np.int32)
@@ -504,13 +513,12 @@ def _mask_dense_density(
 ) -> Tuple[np.ndarray, float]:
     """Dense-path equivalent of the sparse support mask, at 1-cell
     granularity (the dense path only runs at small res): clamp stats are
-    taken over the KEPT cells only, then out-of-support cells are set to
-    empty fill. Returns (masked density, iso). keep is hole-filled, so
-    the fill only borders the support's outer silhouette (see
-    _support_keep_mask)."""
-    keep = None
+    taken over the SUPPORT cells only, enclosed holes (object interiors)
+    are set solid, everything else empty — same semantics as the sparse
+    path (see _support_masks). Returns (masked density, iso)."""
+    keep = holes = None
     if mask_aabbs is not None and len(mask_aabbs):
-        keep = _support_keep_mask(mask_aabbs, args.limit, args.res, 1)
+        keep, holes = _support_masks(mask_aabbs, args.limit, args.res, 1)
         if not keep.any():
             print(
                 "mesh: support mask does not overlap the grid — extraction "
@@ -532,8 +540,10 @@ def _mask_dense_density(
         LAST_TIMINGS["tree_masked_blocks"] = int(
             ((density > iso_value) & ~keep).sum()
         )
+        empty_fill = min(float(stats_src.min()), iso_value) - 1.0
+        solid_fill = max(float(stats_src.max()), iso_value) + 1.0
         density = np.where(
-            keep, density, min(float(stats_src.min()), iso_value) - 1.0
+            keep, density, np.where(holes, solid_fill, empty_fill)
         )
     return density, iso_value
 

@@ -439,41 +439,41 @@ def test_obj_native_writer_matches_python_path(tmp_path, monkeypatch):
         np.testing.assert_array_equal(n2, normals, err_msg=str(path))
 
 
-def test_support_keep_mask_skips_out_of_grid_aabbs():
+def test_support_mask_skips_out_of_grid_aabbs():
     """AABBs entirely outside the grid must be skipped, not clipped onto
     boundary blocks — clipping punched keep-holes along every grid face
     they projected onto, letting floaters there survive the mask."""
-    from nerfmeshes_tpu.mesh.extract import _support_keep_mask
+    from nerfmeshes_tpu.mesh.extract import _support_masks
 
     out = np.array([[[1.5, 0.0, 0.0], [2.0, 0.5, 0.5]]], np.float32)
-    keep = _support_keep_mask(out, limit=1.2, res=48, cells_per_block=8)
-    assert not keep.any()
+    support, holes = _support_masks(out, limit=1.2, res=48, cells_per_block=8)
+    assert not support.any() and not holes.any()
     valid = np.array([[[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]]], np.float32)
     both = np.concatenate([valid, out])
     np.testing.assert_array_equal(
-        _support_keep_mask(both, 1.2, 48, 8),
-        _support_keep_mask(valid, 1.2, 48, 8),
+        _support_masks(both, 1.2, 48, 8)[0],
+        _support_masks(valid, 1.2, 48, 8)[0],
     )
 
 
 def test_tree_mask_keeps_enclosed_interiors():
     """A support shell enclosing a solid object's interior (BuFF prunes
-    interior voxels — transmittance past the surface is ~0) must neither
-    march a backing skin at the interior boundary nor erode surface
-    patches dipping into the enclosed cavity: the keep mask is
-    hole-filled, so masked extraction equals unmasked exactly."""
+    interior voxels — transmittance past the surface is ~0) must not
+    march a backing skin at the interior boundary: enclosed holes read
+    as SOLID fill, so masked extraction equals unmasked exactly when the
+    surface lies in support."""
     from nerfmeshes_tpu.mesh.extract import MeshArgs, extract_geometry
 
     limit = 1.2
 
     def density_fn(pts):
         r = jnp.linalg.norm(pts, axis=-1)
-        return 80.0 * jnp.maximum(0.7 - r, 0.0)
+        return 80.0 * jnp.maximum(0.85 - r, 0.0)
 
     # Six axis slabs covering everything except the cube (-0.45, 0.45)^3:
-    # the solid core is out of rasterized support (and the r=0.7 surface
-    # itself dips into the cavity near its corners), but the cavity is
-    # fully enclosed — hole filling must keep it.
+    # the cube is strictly inside the r=0.85 sphere (corner radius 0.78),
+    # so the solid core is out of rasterized support — as for a pruned
+    # BuFF interior — while the whole surface lies in support.
     slabs = []
     for ax in range(3):
         for sgn in (-1, 1):
@@ -494,6 +494,47 @@ def test_tree_mask_keeps_enclosed_interiors():
         )
         np.testing.assert_array_equal(v_msk, v_all, err_msg=str(res))
         np.testing.assert_array_equal(t_msk, t_all, err_msg=str(res))
+
+
+def test_tree_mask_solidifies_unsupervised_interiors():
+    """Density inside an enclosed hole is unsupervised (no training chord
+    ever sampled it) — whatever garbage it holds must NOT march. A low-
+    density bubble inside a solid sphere surfaces without the mask and
+    disappears under it, while the real outer surface is untouched."""
+    from nerfmeshes_tpu.mesh.extract import MeshArgs, extract_geometry
+
+    limit = 1.2
+
+    def density_fn(pts):
+        r = jnp.linalg.norm(pts, axis=-1)
+        return 80.0 * jnp.maximum(0.85 - r, 0.0) - 4000.0 * jnp.maximum(
+            0.18 - r, 0.0
+        )
+
+    slabs = []
+    for ax in range(3):
+        for sgn in (-1, 1):
+            lo, hi = [-1.2] * 3, [1.2] * 3
+            if sgn > 0:
+                lo[ax], hi[ax] = 0.45, 1.2
+            else:
+                lo[ax], hi[ax] = -1.2, -0.45
+            slabs.append([lo, hi])
+    mask = np.asarray(slabs, np.float32)
+
+    for res in (48, 24):
+        args = MeshArgs(res=res, limit=limit, iso_level=1.0, clamp_iso=False)
+        base = dict(density_fn=density_fn)
+        v_all, _, _, _ = extract_geometry(lambda p, d: None, args, **base)
+        v_msk, _, _, _ = extract_geometry(
+            lambda p, d: None, args, mask_aabbs=mask, **base
+        )
+        r_all = np.linalg.norm(v_all, axis=-1)
+        r_msk = np.linalg.norm(v_msk, axis=-1)
+        assert (r_all < 0.3).any(), res          # unmasked marches the bubble
+        assert (r_msk > 0.4).all(), (res, r_msk.min())  # masked does not
+        # The real outer surface is bit-identical.
+        np.testing.assert_array_equal(v_msk, v_all[r_all > 0.4], err_msg=str(res))
 
 
 def test_obj_native_writer_rejects_rgba_diffuse(tmp_path):
