@@ -62,6 +62,23 @@ class ColmapDataset(RayDataset):
             hwf=np.array([hwf[0], hwf[1], hwf[2]], np.float32),
         )
 
+    def synthesis(self) -> "ColmapDataset":
+        """Swap targets for the LLFF render path — the spiral around the
+        average camera for forward-facing captures, the spherified circle
+        otherwise — instead of the base class's blender orbit (360° around
+        the world origin at radius 4), which is the wrong geometry for an
+        inward- or forward-facing COLMAP capture. Rebuilt from this
+        split's bundle poses/bounds via render_path_from_poses, so it
+        also works when the bundle came from the on-disk cache."""
+        from nerfmeshes_tpu.data.loaders.llff import render_path_from_poses
+
+        self.synthetic_poses = render_path_from_poses(
+            np.asarray(self.bundle.poses),
+            np.asarray(self.bundle.ray_bounds),
+            spherify=self.spherify,
+        )
+        return self
+
 
 class GeneralColmapDataset(RayDataset):
     """Rays straight from a COLMAP sparse reconstruction (sparse/0)."""

@@ -133,19 +133,7 @@ def spherify_poses(poses: np.ndarray, bds: np.ndarray):
     bds = bds * sc
     rad *= sc
 
-    centroid = poses_reset[:, :3, 3].mean(0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad**2 - zh**2)
-
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
-        up_c = np.array([0, 0, -1.0])
-        vec2 = _normalize(camorigin)
-        vec0 = _normalize(np.cross(vec2, up_c))
-        vec1 = _normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
+    new_poses = render_path_from_poses(poses_reset, bds, spherify=True)[:, :3, :4]
 
     hwf = np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)
     new_poses = np.concatenate([new_poses, hwf], -1)
@@ -157,6 +145,58 @@ def spherify_poses(poses: np.ndarray, bds: np.ndarray):
         -1,
     )
     return poses_reset, new_poses, bds
+
+
+def render_path_from_poses(
+    poses: np.ndarray, bds: np.ndarray, spherify: bool = False
+) -> np.ndarray:
+    """Novel-view render path — the same 120-pose spiral (forward-facing)
+    or circle (spherified) load_llff_data computes — derived purely from
+    already-loaded c2w poses plus bounds, so datasets can rebuild it from
+    a (possibly disk-cached) bundle without rereading images. Spherified
+    inputs must already be spherified (recentered, ~unit radius), which
+    is true for any bundle a spherify=True load produced. Accepts
+    (N,3,4), (N,4,4), or (N,3,5 with hwf column); returns (120, 4, 4)
+    homogeneous c2w. The torch reference computes this path
+    (src/data/loaders/load_llff.py:278 via render_path_spiral) but never
+    consumes it; original-NeRF renders its LLFF videos from it."""
+    poses = np.asarray(poses, np.float64)
+    if poses.shape[-2] == 4:
+        poses = poses[:, :3, :]
+    if poses.shape[-1] == 4:
+        # Dummy hwf column: only rotation/translation feed the path.
+        poses = np.concatenate([poses, np.zeros_like(poses[:, :, :1])], -1)
+    bds = np.asarray(bds, np.float64).reshape(-1, 2)
+    if spherify:
+        rad = np.sqrt(np.mean(np.sum(poses[:, :3, 3] ** 2, -1)))
+        centroid = poses[:, :3, 3].mean(0)
+        zh = centroid[2]
+        radcircle = np.sqrt(max(rad**2 - zh**2, 1e-12))
+        out = []
+        for th in np.linspace(0.0, 2.0 * np.pi, 120):
+            camorigin = np.array(
+                [radcircle * np.cos(th), radcircle * np.sin(th), zh]
+            )
+            up_c = np.array([0, 0, -1.0])
+            vec2 = _normalize(camorigin)
+            vec0 = _normalize(np.cross(vec2, up_c))
+            vec1 = _normalize(np.cross(vec2, vec0))
+            out.append(np.stack([vec0, vec1, vec2, camorigin], 1))
+        path = np.stack(out, 0)
+    else:
+        c2w = poses_avg(poses)
+        up = _normalize(poses[:, :3, 1].sum(0))
+        close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
+        dt = 0.75
+        focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
+        rads = np.percentile(np.abs(poses[:, :3, 3]), 90, 0)
+        path = np.asarray(
+            render_path_spiral(c2w, up, rads, focal, zrate=0.5, rots=2, N=120)
+        )[:, :3, :4]
+    bottom = np.broadcast_to(
+        np.array([0, 0, 0, 1.0]), (path.shape[0], 1, 4)
+    )
+    return np.concatenate([path[:, :3, :4], bottom], 1).astype(np.float32)
 
 
 def load_llff_data(
@@ -211,16 +251,11 @@ def load_llff_data(
     if spherify:
         poses, render_poses, bds = spherify_poses(poses, bds)
     else:
-        c2w = poses_avg(poses)
-        up = _normalize(poses[:, :3, 1].sum(0))
-        close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
-        dt = 0.75
-        focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
-        tt = poses[:, :3, 3]
-        rads = np.percentile(np.abs(tt), 90, 0)
-        render_poses = render_path_spiral(
-            c2w, up, rads, focal, zrate=0.5, rots=2, N=120
-        )
+        path44 = render_path_from_poses(poses, bds, spherify=False)
+        hwf = np.broadcast_to(
+            poses[0, :3, -1:], (path44.shape[0], 3, 1)
+        ).astype(np.float32)
+        render_poses = np.concatenate([path44[:, :3, :4], hwf], -1)
 
     render_poses = np.asarray(render_poses, dtype=np.float32)
 

@@ -190,6 +190,52 @@ def test_colmap_dataset_from_llff(llff_root):
     assert b.ray_bounds.shape == (2,)
 
 
+def test_render_path_helper_matches_loader(llff_root):
+    """render_path_from_poses on the loader's full pose set must equal the
+    render_poses load_llff_data itself computed — both branches."""
+    from nerfmeshes_tpu.data.loaders.llff import (
+        load_llff_data,
+        render_path_from_poses,
+    )
+
+    for spherify in (False, True):
+        _, poses, bds, render_poses, _ = load_llff_data(
+            str(llff_root), factor=2, spherify=spherify
+        )
+        path = render_path_from_poses(poses, bds, spherify=spherify)
+        assert path.shape == (120, 4, 4)
+        np.testing.assert_allclose(
+            path[:, :3, :4], render_poses[:, :3, :4], atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            path[:, 3], np.broadcast_to([0.0, 0, 0, 1], (120, 4))
+        )
+
+
+def test_colmap_synthesis_uses_llff_render_path(llff_root):
+    """ColmapDataset.synthesis() must follow the scene's render path, not
+    the blender orbit (radius-4 circle around the world origin — wrong
+    geometry for a COLMAP capture): spherified cameras sit near the unit
+    sphere, so the circle's centers must too, and rays must still build."""
+    from nerfmeshes_tpu.data.colmap_dataset import ColmapDataset
+    from nerfmeshes_tpu.data.helpers import synthesis_poses
+
+    cfg = get_default_cfg()
+    cfg.dataset.type = "colmap"
+    cfg.dataset.basedir = str(llff_root)
+    cfg.dataset.llff_downsample_factor = 2
+    cfg.dataset.llff_hold_step = 3
+    ds = ColmapDataset(cfg, DatasetType.VALIDATION).synthesis()
+    assert ds.synthetic_poses.shape == (120, 4, 4)
+    radii = np.linalg.norm(ds.synthetic_poses[:, :3, 3], axis=-1)
+    cam_max = np.linalg.norm(ds.bundle.poses[:, :3, 3], axis=-1).max()
+    assert radii.max() < 2.0 * cam_max + 1.0  # orbit would sit at r=4
+    orbit = synthesis_poses()
+    assert not np.allclose(ds.synthetic_poses, orbit)
+    o, d = ds.image_rays(0)
+    assert o.shape == d.shape and d.shape[-1] == 3
+
+
 # ---------------------------------------------------------------- ScanNet
 
 
