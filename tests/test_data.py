@@ -306,6 +306,51 @@ def test_scannet_dataset(sens_file):
     assert center[2] > 0.9
 
 
+def test_general_colmap_dataset(tmp_path):
+    """GeneralColmapDataset reads a raw sparse/0 model: w2c -> c2w
+    inversion, SIMPLE_RADIAL focal, images matched by name."""
+    import imageio.v2 as imageio
+
+    from nerfmeshes_tpu.data.colmap_dataset import GeneralColmapDataset
+
+    rng = np.random.default_rng(1)
+    base = tmp_path / "scene"
+    (base / "images").mkdir(parents=True)
+    H, W = 24, 32
+    cams = {1: Camera(1, "SIMPLE_RADIAL", W, H, np.array([30.0, W / 2, H / 2, 0.0]))}
+    images = {}
+    for i in range(1, 4):
+        imageio.imwrite(
+            base / "images" / f"img_{i:03d}.png",
+            (rng.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8),
+        )
+        images[i] = Image(
+            i, np.array([1.0, 0, 0, 0]), np.array([0.0, 0.0, float(i)]), 1,
+            f"img_{i:03d}.png", np.zeros((0, 2)), np.zeros(0, np.int64),
+        )
+    # One image without a file on disk: must be skipped, not crash.
+    images[9] = Image(
+        9, np.array([1.0, 0, 0, 0]), np.zeros(3), 1,
+        "missing.png", np.zeros((0, 2)), np.zeros(0, np.int64),
+    )
+    write_model(cams, images, {}, base / "sparse" / "0", ".bin")
+
+    cfg = get_default_cfg()
+    cfg.dataset.type = "general_colmap"
+    cfg.dataset.basedir = str(base)
+    ds = GeneralColmapDataset(cfg, DatasetType.TRAIN)
+    assert len(ds) == 3
+    assert ds.bundle.ray_targets.shape == (3, H, W, 3)
+    assert float(ds.hwf[2]) == 30.0
+    # Identity rotation, tvec=(0,0,i) w2c => c2w translation (0,0,-i).
+    np.testing.assert_allclose(
+        ds.bundle.poses[:, :3, 3], [[0, 0, -1], [0, 0, -2], [0, 0, -3]],
+        atol=1e-6,
+    )
+    b = ds.image_bundle(0)
+    assert b.ray_directions.shape == (H, W, 3)
+
+
 # ---------------------------------------------------------------- colmap_convert
 
 
