@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save-disparity", action="store_true", default=False)
     parser.add_argument("--synthesis-images", action="store_true", default=False,
                         help="Render 120 synthesized orbit poses instead of the test split.")
+    parser.add_argument("--synthesis-video", type=str, default=None,
+                        help="Also assemble the rendered frames into an animated GIF "
+                        "at this path (the reference README's novel-view orbits; "
+                        "implies --synthesis-images).")
     return parser
 
 
@@ -46,8 +50,13 @@ def main(argv=None) -> None:
     cfg, paths = resolve_paths(log_checkpoint=args.log_checkpoint)
     # Shard the render over every visible chip (single device -> None).
     system = build_system(cfg, paths, default_mesh())
+    if args.synthesis_video and not args.synthesis_video.endswith(".gif"):
+        raise SystemExit(
+            "--synthesis-video: only .gif is supported in this environment "
+            "(no ffmpeg); got " + args.synthesis_video
+        )
     dataset = build_dataset(cfg, DatasetType.TEST)
-    if args.synthesis_images:
+    if args.synthesis_images or args.synthesis_video:
         dataset.synthesis()
     system.setup_eval(dataset)
     system.restore(
@@ -63,6 +72,7 @@ def main(argv=None) -> None:
     H, W = int(H), int(W)
     mses = []
     ssims = []
+    video_frames = [] if args.synthesis_video else None
     for idx in range(len(dataset)):
         # Rays stay on device (dataset.image_rays); only targets/bounds
         # are host-side.
@@ -93,6 +103,8 @@ def main(argv=None) -> None:
             )
         print(line, flush=True)
 
+        if video_frames is not None:
+            video_frames.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
         if save_dir and (args.save_images or args.synthesis_images):
             import imageio.v2 as imageio
 
@@ -111,6 +123,14 @@ def main(argv=None) -> None:
                     save_dir / f"{idx:04d}_disparity.png",
                     cast_to_disparity_image(disp, cfg.dataset.white_background),
                 )
+
+    if video_frames:
+        import imageio.v2 as imageio
+
+        os.makedirs(Path(args.synthesis_video).resolve().parent, exist_ok=True)
+        # duration is ms/frame on this imageio (2.37): ~24 fps, loop forever.
+        imageio.mimwrite(args.synthesis_video, video_frames, duration=42, loop=0)
+        print(f"wrote {len(video_frames)}-frame animation -> {args.synthesis_video}")
 
     if mses:
         mean_mse = float(np.mean(mses))

@@ -78,11 +78,16 @@ def test_eval_cli(tiny_run, capsys):
 def test_eval_cli_synthesis(tiny_run, capsys):
     root, _, logdir = tiny_run
     save = root / "synth_out"
+    gif = root / "orbit.gif"
     eval_nerf.main(
-        ["--log-checkpoint", logdir, "--save-dir", str(save), "--synthesis-images"]
+        ["--log-checkpoint", logdir, "--save-dir", str(save),
+         "--synthesis-images", "--synthesis-video", str(gif)]
     )
     # 120 synthesized orbit poses rendered without targets.
     assert len(list(save.glob("*_rgb.png"))) == 120
+    from PIL import Image
+
+    assert Image.open(gif).n_frames == 120
 
 
 def test_mesh_cli(tiny_run):
