@@ -713,3 +713,72 @@ def test_slab_integrate_matches_numpy():
     expected[hit] += (acc[hit] / freq[hit] - memm0[hit]) / 3.0
     np.testing.assert_allclose(np.asarray(got.memm), expected, rtol=2e-5, atol=1e-6)
     assert int(got.counter) == 4
+
+
+def test_buff_colmap_fern_composition(tmp_path):
+    """BuFF composed with ColmapDataset (the buff-colmap-fern.yml regime:
+    spherified LLFF poses, per-image COLMAP bounds, no NDC) trains and
+    validates end-to-end — per-ray bounds feed the stratified fallback
+    while tree chords sample the fixed root cube."""
+    import imageio.v2 as imageio
+
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.config.paths import ExperimentPaths
+    from nerfmeshes_tpu.data.colmap_dataset import ColmapDataset
+    from nerfmeshes_tpu.data.datasets import DatasetType
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+
+    root = tmp_path / "llff"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    N, H, W, f = 6, 20, 24, 22.0
+    rows = []
+    for i in range(N):
+        img = (rng.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(root / "images" / f"im_{i:03d}.png", img)
+        th = 2 * np.pi * i / N
+        pos = np.array([np.cos(th), np.sin(th), 4.0])
+        back = pos / np.linalg.norm(pos)
+        right = np.cross([0, 1, 0], back)
+        right /= np.linalg.norm(right)
+        down = np.cross(back, right)
+        m = np.stack([down, right, back, pos], 1)
+        hwf = np.array([[H], [W], [f]])
+        rows.append(
+            np.concatenate([np.concatenate([m, hwf], 1).ravel(), [2.0, 6.0]])
+        )
+    np.save(root / "poses_bounds.npy", np.stack(rows))
+
+    cfg = load_config("/root/repo/configs/buff-colmap-fern.yml")
+    cfg.dataset.basedir = str(root)
+    cfg.dataset.llff_downsample_factor = 1
+    cfg.dataset.llff_hold_step = 3
+    cfg.experiment.train_iters = 40
+    cfg.experiment.validate_every = 40
+    cfg.experiment.steps_per_call = 5
+    cfg.experiment.compute_dtype = "float32"
+    cfg.nerf.train.num_random_rays = 128
+    cfg.nerf.train.num_coarse = 32
+    cfg.nerf.validation.num_coarse = 32
+    cfg.nerf.validation.chunksize = 4096
+    cfg.models.coarse.num_layers = 2
+    cfg.models.coarse.hidden_size = 32
+    cfg.tree.subdivision_outer_count = 4
+    cfg.tree.max_voxel_count = 128
+    cfg.tree.step_size_integration_offset = 5
+    cfg.tree.step_size_tree = 15
+
+    # Per-image COLMAP bounds must reach the system as (N, 2).
+    train_ds = ColmapDataset(cfg, DatasetType.TRAIN)
+    assert train_ds.bundle.ray_bounds.shape == (len(train_ds), 2)
+
+    paths = ExperimentPaths(tmp_path / "run").create()
+    system = BuFFSystem(cfg, paths)
+    system.setup(train_ds, ColmapDataset(cfg, DatasetType.VALIDATION))
+    before = system.validate(log_images=False)["validation/loss"]
+    system.fit()
+    after = system.validate(log_images=False)["validation/loss"]
+    assert int(system.state.step) == 40
+    assert np.isfinite(after) and after < before
+    # Consolidation fired (offset 5 + tree step 15 < 40).
+    assert int(system.tree_state.counter) < 35
