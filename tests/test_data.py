@@ -306,6 +306,37 @@ def test_scannet_dataset(sens_file):
     assert center[2] > 0.9
 
 
+def test_scannet_train_composition(sens_file, tmp_path):
+    """ScanNetDataset composed with NeRFSystem: the jitted train step must
+    honor the dataset's +z/real-principal-point intrinsics (plumbed via
+    make_train_step(intrinsics=...)) and the depth targets must ride along
+    to the device arrays."""
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.config.paths import ExperimentPaths
+    from nerfmeshes_tpu.data.scannet_dataset import ScanNetDataset
+    from nerfmeshes_tpu.train.system import NeRFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.dataset.type = "scannet"
+    cfg.dataset.basedir = str(sens_file)
+    cfg.dataset.near = 0.1
+    cfg.dataset.far = 4.0
+    cfg.experiment.train_iters = 30
+    cfg.experiment.validate_every = 30
+    cfg.experiment.steps_per_call = 5
+
+    train = ScanNetDataset(cfg, DatasetType.TRAIN)
+    assert "target_depth" in train.device_arrays()
+    paths = ExperimentPaths(tmp_path / "run").create()
+    system = NeRFSystem(cfg, paths)
+    system.setup(train, ScanNetDataset(cfg, DatasetType.VALIDATION))
+    before = system.validate(log_images=False)["validation/loss"]
+    system.fit()
+    after = system.validate(log_images=False)["validation/loss"]
+    assert int(system.state.step) == 30
+    assert np.isfinite(after) and after < before
+
+
 def test_general_colmap_dataset(tmp_path):
     """GeneralColmapDataset reads a raw sparse/0 model: w2c -> c2w
     inversion, SIMPLE_RADIAL focal, images matched by name."""
