@@ -65,6 +65,35 @@ def test_dataset_caching(blender_root, tmp_path):
     np.testing.assert_allclose(ds1.bundle.ray_targets, ds2.bundle.ray_targets)
 
 
+def test_blender_train_composition(blender_root, tmp_path):
+    """BlenderDataset (transforms json on disk — the reference's flagship
+    lego format) composed with NeRFSystem end-to-end, white background
+    on as the lego config ships it."""
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.config.paths import ExperimentPaths
+    from nerfmeshes_tpu.train.system import NeRFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.dataset.type = "blender"
+    cfg.dataset.basedir = str(blender_root)
+    cfg.dataset.white_background = True
+    cfg.experiment.train_iters = 30
+    cfg.experiment.validate_every = 30
+    cfg.experiment.steps_per_call = 5
+
+    paths = ExperimentPaths(tmp_path / "run").create()
+    system = NeRFSystem(cfg, paths)
+    system.setup(
+        BlenderDataset(cfg, DatasetType.TRAIN),
+        BlenderDataset(cfg, DatasetType.VALIDATION),
+    )
+    before = system.validate(log_images=False)["validation/loss"]
+    system.fit()
+    after = system.validate(log_images=False)["validation/loss"]
+    assert int(system.state.step) == 30
+    assert np.isfinite(after) and after < before
+
+
 # ---------------------------------------------------------------- COLMAP
 
 
