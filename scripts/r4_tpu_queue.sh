@@ -1,0 +1,23 @@
+#!/bin/bash
+# Pending TPU evidence (relay died mid-r3 before these completed):
+#  1. quality_800 re-run post SSIM f32-conv fix (pre-fix rows carry a
+#     +-0.003-ish SSIM bias — BASELINE.md flags them).
+#  2. Masked chamfer re-measure under the FINAL support-mask semantics
+#     (solid-fill holes) -> iso_buff250k_masked_v2.json.
+#  3. bench.py for a fresh headline number.
+# Run with: nohup bash scripts/r4_tpu_queue.sh > logs/r4_queue.log 2>&1 &
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+if ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null; then
+  echo "R4_QUEUE_ABORT: relay port 8082 refuses connections" >&2
+  exit 1
+fi
+mkdir -p logs
+timeout 1200 python scripts/quality_800.py > logs/r4_quality800.log 2>&1
+timeout 2400 python scripts/iso_sweep.py \
+  --log-checkpoint logs/buff-hard-250k/r3_buff250k/version_0 \
+  --isos 10 20 30 40 50 --out iso_buff250k_masked_v2.json \
+  > logs/r4_iso_masked_v2.log 2>&1
+timeout 1200 python bench.py > logs/r4_bench.log 2>&1
+echo R4_QUEUE_DONE
