@@ -417,6 +417,19 @@ class NeRFSystem:
                     ).items()
                 }
                 host["train/rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
+                # Divergence guard (free: metrics are already on the host
+                # at this cadence). A non-finite loss never recovers — the
+                # params are poisoned — so fail loudly instead of burning
+                # the rest of the budget. The reference's only failure
+                # detection is the color-collapse exit (model_base.py:179).
+                loss = host.get("train/loss")
+                if loss is not None and not np.isfinite(loss):
+                    raise RuntimeError(
+                        f"Training diverged: train/loss={loss} at step "
+                        f"{step} (lr={host.get('train/lr')}). Restart from "
+                        "the last checkpoint with a lower lr, fewer rays, "
+                        "or sigma noise enabled."
+                    )
                 last_metrics = host
                 self.on_host_metrics(host, step)
                 if self.logger is not None:

@@ -323,3 +323,23 @@ def test_validation_views_redrawn_per_epoch(tiny_cfg):
     fixed_a = system._last_val_indices
     system.validate(log_images=False, step=5000)
     assert system._last_val_indices == fixed_a, "fixed_views must pin the draw"
+
+
+def test_divergence_guard_raises(trained):
+    """A non-finite loss must abort the fit loop with a clear error at
+    print cadence, not train on poisoned params to the end. Reuses the
+    trained system (compiled train_fn); state is restored afterwards."""
+    import jax
+
+    system, _, _, _ = trained
+    orig_state = system.state
+    try:
+        system.state = system.state._replace(
+            params=jax.tree_util.tree_map(
+                lambda x: x * np.nan, system.state.params
+            )
+        )
+        with pytest.raises(RuntimeError, match="diverged"):
+            system.fit(max_steps=int(system.state.step) + 40)
+    finally:
+        system.state = orig_state
