@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.synthesis_video and not args.synthesis_video.endswith(".gif"):
+        # Validate before build_system: backend init + model construction
+        # cost minutes through the TPU tunnel.
+        raise SystemExit(
+            "--synthesis-video: only .gif is supported in this environment "
+            "(no ffmpeg); got " + args.synthesis_video
+        )
 
     from nerfmeshes_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -50,11 +57,6 @@ def main(argv=None) -> None:
     cfg, paths = resolve_paths(log_checkpoint=args.log_checkpoint)
     # Shard the render over every visible chip (single device -> None).
     system = build_system(cfg, paths, default_mesh())
-    if args.synthesis_video and not args.synthesis_video.endswith(".gif"):
-        raise SystemExit(
-            "--synthesis-video: only .gif is supported in this environment "
-            "(no ffmpeg); got " + args.synthesis_video
-        )
     dataset = build_dataset(cfg, DatasetType.TEST)
     if args.synthesis_images or args.synthesis_video:
         dataset.synthesis()

@@ -14,10 +14,14 @@ if ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null; then
   exit 1
 fi
 mkdir -p logs
-timeout 1200 python scripts/quality_800.py > logs/r4_quality800.log 2>&1
+# quality_800 alone is ~15-18 min of GT-render+compile startup plus 383s
+# training plus eval + 480^3 mesh + chamfer — give it a real budget.
+timeout 4800 python scripts/quality_800.py > logs/r4_quality800.log 2>&1
 timeout 2400 python scripts/iso_sweep.py \
   --log-checkpoint logs/buff-hard-250k/r3_buff250k/version_0 \
   --isos 10 20 30 40 50 --out iso_buff250k_masked_v2.json \
   > logs/r4_iso_masked_v2.log 2>&1
-timeout 1200 python bench.py > logs/r4_bench.log 2>&1
+# bench.py's internal watchdog is 2 attempts x 900s; the outer bound must
+# cover both attempts plus cold start or it kills the retry mid-flight.
+timeout 2400 python bench.py > logs/r4_bench.log 2>&1
 echo R4_QUEUE_DONE
