@@ -254,6 +254,9 @@ class NeRFSystem:
 
         H, W, _ = self.val_dataset.hwf
         losses, fine_losses = [], []
+        from nerfmeshes_tpu.utils.logging import progress_bar
+
+        vbar = progress_bar(len(self._last_val_indices), desc="val", position=1)
         for i, idx in enumerate(indices):
             # Rays generated and kept ON DEVICE (dataset.image_rays);
             # only targets/bounds come from the host.
@@ -314,6 +317,8 @@ class NeRFSystem:
                 self.logger.log_image(
                     f"validation/img_target/{i}", target.reshape(int(H), int(W), 3), step
                 )
+            vbar.update(1)
+        vbar.close()
 
         coarse_loss = float(np.mean(losses))
         metrics = {
@@ -394,9 +399,13 @@ class NeRFSystem:
         # breaking the async pipeline. The device counter stays
         # authoritative for checkpoints.
         step = int(self.state.step)
+        from nerfmeshes_tpu.utils.logging import progress_bar
+
+        pbar = progress_bar(max_steps, desc="train", initial=step)
         while step < max_steps:
             self.state, metrics = self._train_fn(self.state, self._data)
             step += steps_per_call
+            pbar.update(steps_per_call)
             rays_done += steps_per_call * int(cfg.nerf.train.num_random_rays)
 
             self.on_step(step)
@@ -432,6 +441,11 @@ class NeRFSystem:
                     )
                 last_metrics = host
                 self.on_host_metrics(host, step)
+                pbar.set_postfix_str(
+                    f"loss={host.get('train/loss', float('nan')):.4g} "
+                    f"rps={host['train/rays_per_sec']:.3g}",
+                    refresh=False,
+                )
                 if self.logger is not None:
                     self.logger.log_scalars(host, step)
                     print(self.logger.console_line(host, step), flush=True)
@@ -450,6 +464,7 @@ class NeRFSystem:
                         val_loss=val_metrics["validation/loss"],
                         extra=self.checkpoint_extra(),
                     )
+        pbar.close()
         return last_metrics
 
     def on_step(self, step: int) -> None:

@@ -27,6 +27,47 @@ def acronym(name: str) -> str:
     return f"{scope[0]}/{short}"
 
 
+def progress_bar(total: int, desc: str, initial: int = 0, position: int = 0):
+    """Console progress bar, mirroring the reference's LoggerCallback which
+    replaces Lightning's bar with two tqdm bars — train (total=max_steps)
+    and validation (src/lightning_modules.py:14-143).
+
+    Enabled when stderr is a TTY; force with NERFMESHES_PROGRESS=1/0.
+    Returns a tqdm instance, or an inert stub when disabled/unavailable, so
+    call sites never branch."""
+    import os
+    import sys
+
+    env = os.environ.get("NERFMESHES_PROGRESS")
+    enabled = sys.stderr.isatty() if env is None else env not in ("0", "false")
+    if enabled:
+        try:
+            from tqdm import tqdm
+
+            return tqdm(
+                total=total,
+                desc=desc,
+                initial=initial,
+                position=position,
+                dynamic_ncols=True,
+                leave=position == 0,
+            )
+        except Exception:
+            pass
+
+    class _NoopBar:
+        def update(self, n=1):
+            pass
+
+        def set_postfix_str(self, s, refresh=True):
+            pass
+
+        def close(self):
+            pass
+
+    return _NoopBar()
+
+
 class MetricsLogger:
     def __init__(self, log_dir: str, use_tensorboard: bool = True, use_acronyms: bool = True):
         self.log_dir = Path(log_dir)

@@ -343,3 +343,25 @@ def test_divergence_guard_raises(trained):
             system.fit(max_steps=int(system.state.step) + 40)
     finally:
         system.state = orig_state
+
+
+def test_progress_bar_both_paths(monkeypatch):
+    """progress_bar mirrors the reference's LoggerCallback tqdm bars
+    (src/lightning_modules.py:14-143): a real tqdm when forced on, an
+    inert stub when off — identical call surface either way."""
+    from nerfmeshes_tpu.utils.logging import progress_bar
+
+    monkeypatch.setenv("NERFMESHES_PROGRESS", "1")
+    bar = progress_bar(10, "train", initial=2)
+    assert type(bar).__name__ == "tqdm"
+    bar.update(3)
+    bar.set_postfix_str("loss=0.1", refresh=False)
+    assert bar.n == 5
+    bar.close()
+
+    monkeypatch.setenv("NERFMESHES_PROGRESS", "0")
+    noop = progress_bar(10, "val", position=1)
+    assert type(noop).__name__ != "tqdm"
+    noop.update(1)
+    noop.set_postfix_str("x")
+    noop.close()
