@@ -15,6 +15,16 @@ if "xla_force_host_platform_device_count" not in flags:
 # Keep test-time compiles deterministic and quiet.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# Opt-in line coverage (no coverage.py in this image): set
+# NERFMESHES_LINECOV=<out.json> and see scripts/line_coverage.py.
+if os.environ.get("NERFMESHES_LINECOV"):
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import line_coverage as _linecov
+
+    _linecov.start(os.environ["NERFMESHES_LINECOV"])
+
 import numpy as np
 import pytest
 
