@@ -1,0 +1,329 @@
+"""Targeted tests for code the main suites leave cold (found via
+scripts/line_coverage.py): the profiling harness, the full
+optimizer/scheduler zoo, blender depth/normal/downscale branches, ScanNet
+image exporters + CLI, CfgNode registry/coercion edges, and the
+DataBundle pytree contract.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nerfmeshes_tpu.config import get_default_cfg
+from nerfmeshes_tpu.config.cfgnode import CfgNode, _coerce, _parse_literal
+
+
+# ---------------------------------------------------------------- profiling
+
+
+def test_timer_times_jitted_fn():
+    from nerfmeshes_tpu.utils.profiling import Timer
+
+    fn = jax.jit(lambda x: x * 2.0 + 1.0)
+    dt = Timer(warmup=1, repeats=3).time(fn, jnp.ones((8, 8)))
+    assert dt > 0.0
+
+
+def test_trace_and_summarize(tmp_path):
+    from nerfmeshes_tpu.utils.profiling import summarize_trace, trace
+
+    fn = jax.jit(lambda x: jnp.sin(x).sum())
+    with trace(str(tmp_path)):
+        jax.block_until_ready(fn(jnp.ones((64, 64))))
+    # CPU traces carry no TPU/GPU device pids; the parse still runs and
+    # returns a (possibly empty) ranked list.
+    out = summarize_trace(str(tmp_path))
+    assert isinstance(out, list)
+
+
+def test_summarize_trace_missing_dir(tmp_path):
+    from nerfmeshes_tpu.utils.profiling import summarize_trace
+
+    with pytest.raises(FileNotFoundError):
+        summarize_trace(str(tmp_path / "nothing"))
+
+
+# ---------------------------------------------------------------- optim zoo
+
+
+def _opt_cfg(opt_type="Adam", sched_type="DefaultScheduler", **sched_opts):
+    cfg = get_default_cfg()
+    cfg.optimizer.type = opt_type
+    cfg.scheduler.type = sched_type
+    for k, v in sched_opts.items():
+        cfg.scheduler.options[k] = v
+    return cfg
+
+
+@pytest.mark.parametrize(
+    "opt_type", ["Adam", "AdamW", "Adamax", "SGD", "RMSprop", "Adagrad"]
+)
+def test_optimizer_zoo_updates(opt_type):
+    from nerfmeshes_tpu.train.optim import build_optimizer
+
+    cfg = _opt_cfg(opt_type)
+    opt = build_optimizer(cfg)
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    state = opt.init(params)
+    grads = {"w": jnp.full((3,), 0.5), "b": jnp.full((2,), -0.5)}
+    updates, state = opt.update(grads, state, params)
+    new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert not np.allclose(np.asarray(new_params["w"]), 1.0)
+
+
+def test_unknown_optimizer_raises():
+    from nerfmeshes_tpu.train.optim import build_optimizer
+
+    with pytest.raises(ValueError, match="Unknown optimizer"):
+        build_optimizer(_opt_cfg("LBFGS"))
+
+
+def test_scheduler_zoo_values():
+    """Each torch.optim.lr_scheduler name maps to its torch semantics."""
+    from nerfmeshes_tpu.train.optim import build_schedule
+
+    lr = 0.1
+
+    def sched(kind, **opts):
+        cfg = _opt_cfg(sched_type=kind, **opts)
+        cfg.optimizer.lr = lr
+        return build_schedule(cfg)
+
+    s = sched("StepLR", step_size=10, gamma=0.5)
+    assert float(s(0)) == pytest.approx(lr)
+    assert float(s(9)) == pytest.approx(lr)  # staircase: flat within a step
+    assert float(s(10)) == pytest.approx(lr * 0.5)
+    assert float(s(25)) == pytest.approx(lr * 0.25)
+
+    s = sched("ExponentialLR", gamma=0.9)
+    assert float(s(3)) == pytest.approx(lr * 0.9**3)
+
+    s = sched("MultiStepLR", milestones=[5, 15], gamma=0.1)
+    assert float(s(4)) == pytest.approx(lr)
+    assert float(s(5)) == pytest.approx(lr * 0.1)
+    assert float(s(15)) == pytest.approx(lr * 0.01)
+
+    s = sched("CosineAnnealingLR", T_max=100, eta_min=0.01)
+    assert float(s(0)) == pytest.approx(lr)
+    assert float(s(100)) == pytest.approx(0.01, rel=1e-3)
+
+    s = sched("ConstantLR")
+    assert float(s(123)) == pytest.approx(lr)
+
+    with pytest.raises(ValueError, match="Unknown scheduler"):
+        sched("OneCycleLR")
+
+
+# ---------------------------------------------------------------- blender branches
+
+
+def test_blender_depth_normals_downscale_whitebg(tmp_path, monkeypatch):
+    """Depth-EXR decode (reader stubbed: no EXR codec in this image),
+    normal maps, reduced_resolution, and alpha white-background compositing
+    (reference: src/data/loaders/load_blender.py:47-61,89-108)."""
+    import imageio.v2 as imageio
+
+    from nerfmeshes_tpu.data.datasets import BlenderDataset, DatasetType
+    from nerfmeshes_tpu.data.loaders import blender
+    from nerfmeshes_tpu.data.synthetic import write_blender_style_dataset
+
+    root = tmp_path / "blender"
+    write_blender_style_dataset(str(root), num_images=3, image_size=16)
+
+    import json
+
+    with open(root / "transforms_train.json") as fh:
+        meta = json.load(fh)
+    rng = np.random.default_rng(0)
+    for frame in meta["frames"]:
+        base = root / frame["file_path"]
+        # RGBA so white-background compositing has an alpha channel.
+        rgb = imageio.imread(base.with_suffix(".png"))
+        alpha = np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+        alpha[:4, :4] = 0  # a transparent corner
+        imageio.imwrite(base.with_suffix(".png"), np.concatenate([rgb[..., :3], alpha], -1))
+        (base.parent / f"{base.name}_depth.exr").write_bytes(b"not-a-real-exr")
+        normal = rng.integers(0, 255, (16, 16, 3), np.uint8)
+        imageio.imwrite(base.parent / f"{base.name}_normal.png", normal)
+
+    fake_depth = np.full((16, 16), 4.0, np.float32)
+    fake_depth[0, 0] = 2.0  # everything else is "max depth" = empty space
+    monkeypatch.setattr(blender, "read_depth_from_exr", lambda p: fake_depth.copy())
+
+    cfg = get_default_cfg()
+    cfg.dataset.basedir = str(root)
+    cfg.dataset.white_background = True
+    cfg.dataset.reduced_resolution = 2
+    cfg.dataset.empty = 0.0
+    ds = BlenderDataset(cfg, DatasetType.TRAIN)
+
+    b = ds.bundle
+    assert b.ray_targets.shape == (3, 8, 8, 3)
+    assert b.target_depth is not None and b.target_depth.shape == (3, 8, 8)
+    # Max-depth pixels were replaced by cfg.dataset.empty before downscale.
+    assert float(b.target_depth.max()) <= 2.0
+    assert b.target_normals is not None and b.target_normals.shape == (3, 8, 8, 3)
+    # The transparent corner composited to white.
+    assert float(b.ray_targets[0, 0, 0].min()) > 0.9
+
+
+def test_exr_reader_raises_on_garbage(tmp_path):
+    from nerfmeshes_tpu.data.helpers import read_depth_from_exr
+
+    bad = tmp_path / "bad.exr"
+    bad.write_bytes(b"definitely not exr")
+    with pytest.raises(Exception):
+        read_depth_from_exr(str(bad))
+
+
+# ---------------------------------------------------------------- scannet exporters
+
+
+def test_scannet_image_exporters_and_cli(tmp_path):
+    import io
+    import zlib
+
+    import imageio.v2 as imageio
+
+    from nerfmeshes_tpu.data.loaders.scannet import (
+        RGBDFrame,
+        SensorData,
+        main,
+        write_sens,
+    )
+
+    rng = np.random.default_rng(1)
+    H, W = 12, 16
+    K = np.eye(4, dtype=np.float32)
+    frames = []
+    for i in range(3):
+        color = (rng.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        imageio.imwrite(buf, color, format="jpeg")
+        depth = rng.uniform(500, 3000, (H, W)).astype(np.uint16)
+        frames.append(
+            RGBDFrame(np.eye(4, dtype=np.float32), i, i, buf.getvalue(),
+                      zlib.compress(depth.tobytes()))
+        )
+    sens = tmp_path / "scene.sens"
+    write_sens(str(sens), frames, intrinsic_color=K, intrinsic_depth=K,
+               color_size=(W, H), depth_size=(W, H))
+
+    sd = SensorData(str(sens))
+    sd.export_depth_images(tmp_path / "depth", image_size=(6, 8), frame_skip=2)
+    sd.export_color_images(tmp_path / "color", image_size=(6, 8), frame_skip=2)
+    assert (tmp_path / "depth" / "0.png").exists()
+    assert (tmp_path / "depth" / "2.png").exists()
+    assert not (tmp_path / "depth" / "1.png").exists()  # frame_skip honored
+    import imageio.v2 as imageio
+
+    d = imageio.imread(tmp_path / "depth" / "0.png")
+    assert d.shape == (6, 8) and d.dtype == np.uint16
+    c = imageio.imread(tmp_path / "color" / "0.jpg")
+    assert c.shape == (6, 8, 3)
+
+    out = tmp_path / "cli_out"
+    main([
+        "--filename", str(sens), "--output_path", str(out),
+        "--export_depth_images", "--export_color_images",
+        "--export_poses", "--export_intrinsics",
+    ])
+    for sub in ("depth", "color", "pose", "intrinsic"):
+        assert (out / sub).exists() and any((out / sub).iterdir())
+
+
+# ---------------------------------------------------------------- cfgnode edges
+
+
+def test_cfgnode_deprecated_and_renamed_keys():
+    cfg = CfgNode({"a": {"b": 1}})
+    cfg.register_deprecated_key("old.gone")
+    cfg.register_renamed_key("old.name", "a.b", "moved in v2")
+    # Deprecated keys are silently skipped by merges.
+    cfg.merge_from_list(["old.gone", "5"])
+    assert "old" not in cfg
+    with pytest.raises(KeyError, match="renamed to 'a.b'"):
+        cfg.merge_from_list(["old.name", "5"])
+    with pytest.raises(KeyError, match="Unknown config key"):
+        cfg.merge_from_list(["a.nope", "5"])
+    with pytest.raises(ValueError, match="key/value pairs"):
+        cfg.merge_from_list(["a.b"])
+
+
+def test_cfgnode_freeze_str_repr_and_io(tmp_path):
+    cfg = CfgNode({"x": 1, "sub": {"y": "s"}})
+    cfg.freeze()
+    with pytest.raises(AttributeError, match="frozen"):
+        cfg.x = 2
+    with pytest.raises(AttributeError, match="frozen"):
+        cfg["x"] = 2
+    clone = cfg.clone()  # cloning a frozen config keeps frozenness
+    assert clone.is_frozen()
+    cfg.defrost()
+    cfg.x = 2
+    with pytest.raises(AttributeError, match="No config key"):
+        _ = cfg.missing
+    with pytest.raises(TypeError, match="unsupported value type"):
+        cfg.bad = object()
+
+    assert "CfgNode" in repr(cfg)
+    assert "sub:" in str(cfg) and "y: s" in str(cfg)
+
+    path = tmp_path / "cfg.yml"
+    cfg.save(str(path))
+    loaded = CfgNode.load_yaml(str(path))
+    assert loaded.to_dict() == cfg.to_dict()
+    with open(path) as fh:
+        assert CfgNode.load_yaml(fh).to_dict() == cfg.to_dict()
+
+
+def test_parse_literal_and_coerce():
+    assert _parse_literal("1e-3") == pytest.approx(1e-3)
+    assert _parse_literal("42") == 42
+    assert _parse_literal("hello") == "hello"
+    assert _parse_literal("[1, 2]") == [1, 2]
+    assert _parse_literal(7) == 7
+
+    assert _coerce(1, 2.0, "k") == 1.0 and isinstance(_coerce(1, 2.0, "k"), float)
+    assert _coerce(2.0, 1, "k") == 2 and isinstance(_coerce(2.0, 1, "k"), int)
+    assert _coerce([1, 2], (0, 0), "k") == (1, 2)
+    assert _coerce((1, 2), [0], "k") == [1, 2]
+    assert _coerce("true", False, "k") is True
+    assert _coerce("0", True, "k") is False
+    with pytest.raises(ValueError, match="Type mismatch"):
+        _coerce("x", 1, "k")
+    with pytest.raises(ValueError, match="non-dict into dict"):
+        _coerce(1, CfgNode({}), "k")
+
+
+# ---------------------------------------------------------------- DataBundle pytree
+
+
+def test_databundle_pytree_and_indexing():
+    from nerfmeshes_tpu.data.bundle import DataBundle
+
+    b = DataBundle(
+        ray_origins=np.zeros((4, 3), np.float32),
+        ray_directions=np.ones((4, 2, 2, 3), np.float32),
+        ray_targets=np.ones((4, 2, 2, 3), np.float32) * 0.5,
+        ray_bounds=np.array([2.0, 6.0], np.float32),
+        poses=np.tile(np.eye(4, dtype=np.float32), (4, 1, 1)),
+        hwf=(2, 2, 1.0),
+    )
+    # jax pytree contract: map preserves structure, None leaves stay None.
+    doubled = jax.tree_util.tree_map(lambda x: x * 2, b)
+    assert isinstance(doubled, DataBundle)
+    assert float(np.asarray(doubled.ray_targets).max()) == 1.0
+    assert doubled.target_depth is None
+
+    one = b[1]
+    assert one.ray_directions.shape == (2, 2, 3)
+    np.testing.assert_array_equal(one.ray_bounds, b.ray_bounds)  # passthrough
+    assert one.hwf == b.hwf
+
+    flat = b.to_ray_batch()
+    assert flat.ray_directions.shape == (16, 3)
+    assert flat.ray_targets.shape == (16, 3)
