@@ -782,3 +782,87 @@ def test_buff_colmap_fern_composition(tmp_path):
     assert np.isfinite(after) and after < before
     # Consolidation fired (offset 5 + tree step 15 < 40).
     assert int(system.tree_state.counter) < 35
+
+
+def test_intersect_random_sampling_properties(rays):
+    """The reference's multinomial random-sampling mode
+    (tree.use_random_sampling; src/nerf/tree.py:280-297): samples must be
+    depth-sorted, land inside the chord of the voxel they're attributed
+    to, and never report drops (the random path has no chord cap)."""
+    cfg = small_cfg()
+    ours = TreeSampling(cfg)
+    state = ours.device_state()
+    origins, dirs = rays
+    S = 16
+    z, idx, mask, dropped = ray_voxel_intersect(
+        state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs),
+        2.0, 6.0, samples_count=S,
+        use_random_sampling=True, key=jax.random.key(7),
+    )
+    z, idx, mask = np.asarray(z), np.asarray(idx), np.asarray(mask)
+    assert z.shape == idx.shape == (dirs.shape[0], S)
+    assert np.all(np.asarray(dropped) == 0)
+
+    boxes = np.asarray(state.voxels)
+    act = np.asarray(state.active)
+    o = np.broadcast_to(origins, dirs.shape)
+    t1 = (boxes[None, :, 0, :] - o[:, None, :]) / dirs[:, None, :]
+    t2 = (boxes[None, :, 1, :] - o[:, None, :]) / dirs[:, None, :]
+    tmin = np.minimum(t1, t2).max(-1)
+    tmax = np.maximum(t1, t2).min(-1)
+    hit = (tmin <= tmax) & (tmin >= 2.0) & (tmax <= 6.0) & act[None, :]
+    np.testing.assert_array_equal(mask, hit.any(-1))
+
+    for r in np.nonzero(mask)[0]:
+        assert np.all(np.diff(z[r]) >= -1e-5)  # depth-sorted
+        for s in range(S):
+            v = idx[r, s]
+            assert hit[r, v], f"ray {r} sample {s} attributed to a missed voxel"
+            assert tmin[r, v] - 1e-4 <= z[r, s] <= tmax[r, v] + 1e-4
+
+    # Same key reproduces; a different key draws differently.
+    z2, *_ = ray_voxel_intersect(
+        state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs),
+        2.0, 6.0, samples_count=S,
+        use_random_sampling=True, key=jax.random.key(7),
+    )
+    np.testing.assert_array_equal(z, np.asarray(z2))
+    z3, *_ = ray_voxel_intersect(
+        state.voxels, state.active, jnp.asarray(origins), jnp.asarray(dirs),
+        2.0, 6.0, samples_count=S,
+        use_random_sampling=True, key=jax.random.key(8),
+    )
+    assert not np.allclose(z[mask], np.asarray(z3)[mask])
+
+
+def test_buff_random_sampling_training_smoke(tmp_path):
+    """tree.use_random_sampling trains end-to-end (the config knob the
+    reference exposes, config/buff-synthetic-lego.yml tree.use_random_sampling)."""
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.config.paths import ExperimentPaths
+    from nerfmeshes_tpu.data.datasets import DatasetType, SyntheticDataset
+    from nerfmeshes_tpu.buff.system import BuFFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.experiment.model = "BuFFModel"
+    cfg.experiment.train_iters = 30
+    cfg.experiment.validate_every = 30
+    cfg.experiment.steps_per_call = 5
+    cfg.tree.subdivision_outer_count = 4
+    cfg.tree.max_voxel_count = 256
+    cfg.tree.use_random_sampling = True
+    cfg.tree.step_size_integration_offset = 10
+    cfg.tree.step_size_tree = 20
+    cfg.tree.eps = 1e-6
+
+    paths = ExperimentPaths(tmp_path / "buff_rand").create()
+    system = BuFFSystem(cfg, paths)
+    system.setup(
+        SyntheticDataset(cfg, DatasetType.TRAIN, num_images=4, image_size=16),
+        SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=1, image_size=16),
+    )
+    before = system.validate(log_images=False)["validation/loss"]
+    system.fit()
+    after = system.validate(log_images=False)["validation/loss"]
+    assert int(system.state.step) == 30
+    assert np.isfinite(after) and after < before
