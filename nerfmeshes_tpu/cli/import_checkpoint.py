@@ -268,6 +268,13 @@ def main(argv=None) -> None:
             params["coarse"], sd, "model_coarse.", dict(cfg.models.coarse)
         )
         if any(k.startswith("model_fine.") for k in sd):
+            if system.fine is None:
+                raise SystemExit(
+                    "ERROR: the checkpoint has a fine network (model_fine.*) "
+                    "but the config sets models.use_fine: False — import "
+                    "with the run's own hparams.yaml or override "
+                    "models.use_fine True."
+                )
             params["fine"] = transplant_state_dict(
                 params["fine"], sd, "model_fine.", dict(cfg.models.fine)
             )
