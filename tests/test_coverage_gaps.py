@@ -327,3 +327,54 @@ def test_databundle_pytree_and_indexing():
     flat = b.to_ray_batch()
     assert flat.ray_directions.shape == (16, 3)
     assert flat.ray_targets.shape == (16, 3)
+
+
+# ---------------------------------------------------------------- early stop + ckpt
+
+
+def test_early_stopping_exits_on_color_collapse():
+    from nerfmeshes_tpu.config import load_config
+    from nerfmeshes_tpu.train.system import NeRFSystem
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.experiment.use_early_stopping = True
+    cfg.experiment.early_stopping_step = 25
+    system = NeRFSystem(cfg)  # no paths: pure in-memory system
+
+    # Healthy rgb at the checked step: no exit.
+    system._check_early_stopping({"train/rgb_sum": 12.3}, step=25)
+    # Wrong step: not checked even when collapsed.
+    system._check_early_stopping({"train/rgb_sum": 0.0}, step=100)
+    # Collapse at the checked step: exit(-1) like the reference
+    # (src/models/model_base.py:179-187).
+    with pytest.raises(SystemExit):
+        system._check_early_stopping({"train/rgb_sum": 0.0}, step=25)
+
+
+def test_checkpoint_restore_by_step_latest_and_close(tmp_path):
+    import optax
+
+    from nerfmeshes_tpu.train.checkpoint import CheckpointManager
+    from nerfmeshes_tpu.train.step import init_train_state
+
+    params = {"w": jnp.ones((3,))}
+    opt = optax.sgd(0.1)
+    state = init_train_state(params, opt, seed=0)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    s5 = state._replace(step=jnp.asarray(5, jnp.int32),
+                        params={"w": jnp.full((3,), 5.0)})
+    s10 = state._replace(step=jnp.asarray(10, jnp.int32),
+                         params={"w": jnp.full((3,), 10.0)})
+    mgr.save(s5, val_loss=0.5)
+    mgr.save(s10, val_loss=0.4)
+    assert mgr.latest_step() == 10
+
+    got5, _ = mgr.restore(state, step=5)
+    np.testing.assert_allclose(np.asarray(got5.params["w"]), 5.0)
+    assert int(got5.step) == 5
+    got_latest, _ = mgr.restore(state)  # no step -> latest managed
+    assert int(got_latest.step) == 10
+    got_last, _ = mgr.restore(state, last=True)  # out-of-band `last` dir
+    assert int(got_last.step) == 10
+    mgr.close()
