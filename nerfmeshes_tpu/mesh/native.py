@@ -8,6 +8,7 @@ tetrahedra if no compiler is available, so the mesh path always works.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Tuple
@@ -15,8 +16,11 @@ from typing import Optional, Tuple
 import numpy as np
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
-_SRC = _REPO_ROOT / "native" / "marching.cpp"
-_LIB = _REPO_ROOT / "native" / "build" / "libmarching.so"
+# Repo layout by default; pip-installed trees (where native/ is not next to
+# the package) can point NERFMESHES_NATIVE_SRC at a marching.cpp from the
+# sdist — otherwise the pure-numpy fallback below keeps the mesh path alive.
+_SRC = Path(os.environ.get("NERFMESHES_NATIVE_SRC", _REPO_ROOT / "native" / "marching.cpp"))
+_LIB = _SRC.parent / "build" / "libmarching.so"
 
 _lib_handle: Optional[ctypes.CDLL] = None
 _build_failed = False
