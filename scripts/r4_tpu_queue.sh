@@ -1,4 +1,9 @@
 #!/bin/bash
+# COMPLETED (r4 session, 2026-08-18): items 1+3 ran clean (quality_800
+# post-fix SSIM 0.9615, bench 124,615 rays/s); item 2's checkpoint did
+# not survive the workspace reset (logs/ is gitignored) — replaced by
+# scripts/r4_buff_mask_evidence.sh on a fresh checkpoint. Do NOT re-run.
+#
 # Pending TPU evidence (relay died mid-r3 before these completed):
 #  1. quality_800 re-run post SSIM f32-conv fix (pre-fix rows carry a
 #     +-0.003-ish SSIM bias — BASELINE.md flags them).
