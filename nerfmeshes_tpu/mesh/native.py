@@ -20,7 +20,27 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 # the package) can point NERFMESHES_NATIVE_SRC at a marching.cpp from the
 # sdist — otherwise the pure-numpy fallback below keeps the mesh path alive.
 _SRC = Path(os.environ.get("NERFMESHES_NATIVE_SRC", _REPO_ROOT / "native" / "marching.cpp"))
-_LIB = _SRC.parent / "build" / "libmarching.so"
+
+
+def _lib_path(src: Path) -> Path:
+    """Build-output path for the .so: next to the source when its tree is
+    writable, else a per-user cache dir (read-only installs, ADVICE r3 —
+    without this the mkdir raises, _build_failed latches, and the mesh
+    path silently drops to the slow numpy fallback despite a compiler)."""
+    build_dir = src.parent / "build"
+    try:
+        build_dir.mkdir(parents=True, exist_ok=True)
+        if os.access(build_dir, os.W_OK):
+            return build_dir / "libmarching.so"
+    except OSError:
+        pass
+    cache = Path(
+        os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+    ) / "nerfmeshes_tpu" / "build"
+    return cache / "libmarching.so"
+
+
+_LIB = _lib_path(_SRC)
 
 _lib_handle: Optional[ctypes.CDLL] = None
 _build_failed = False
@@ -95,8 +115,18 @@ def _build() -> Optional[ctypes.CDLL]:
         except AttributeError:
             pass
         return lib
-    except Exception:
+    except Exception as exc:
         _build_failed = True
+        # One-time, visible: the numpy fallback is correct but far slower
+        # (no vertex dedup) — a silent downgrade hides real perf loss.
+        import warnings
+
+        warnings.warn(
+            f"native mesh library build/load failed ({exc!r}); "
+            "falling back to the pure-numpy marching path",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
 
 

@@ -22,11 +22,12 @@ timeout 1800 python -m nerfmeshes_tpu.cli.train_nerf \
     experiment.validate_every 6000 dataset.synthetic.image_size 400 \
     tree.step_size_integration_offset 500 tree.step_size_tree 2000 \
   > logs/r4_buff_mask_train.log 2>&1 || exit 1
-VDIR=$(ls -d "$RUN"/*/mask_v2/version_* | tail -1)
+# Numeric sort: version_10 sorts lexically BEFORE version_9 (ADVICE r3).
+VDIR=$(ls -d "$RUN"/*/mask_v2/version_* | sort -t_ -k2 -n | tail -1)
 timeout 1200 python scripts/iso_sweep.py --log-checkpoint "$VDIR" \
   --isos 10 20 30 40 50 --out iso_buff_mask_v2.json \
-  > logs/r4_iso_mask_v2.log 2>&1
+  > logs/r4_iso_mask_v2.log 2>&1 || exit 1
 timeout 1200 python scripts/iso_sweep.py --log-checkpoint "$VDIR" \
   --isos 10 20 30 40 50 --no-tree-mask --out iso_buff_mask_v2_raw.json \
-  > logs/r4_iso_mask_v2_raw.log 2>&1
+  > logs/r4_iso_mask_v2_raw.log 2>&1 || exit 1
 echo BUFF_MASK_EVIDENCE_DONE
