@@ -10,9 +10,12 @@ from nerfmeshes_tpu.ops.sampling import (
     ray_sample_interval,
     sample_pdf,
 )
-from nerfmeshes_tpu.ops.render import RenderOutput, volume_render
+from nerfmeshes_tpu.ops.render import RenderOutput, density_weights, volume_render
+from nerfmeshes_tpu.ops.depth_sampling import depth_guided_intervals
 
 __all__ = [
+    "density_weights",
+    "depth_guided_intervals",
     "cumprod_exclusive",
     "img2mse",
     "mse2psnr",

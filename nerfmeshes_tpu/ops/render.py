@@ -98,3 +98,27 @@ def volume_render(
         acc_map=acc_map,
         disp_map=disp_map,
     )
+
+
+def density_weights(
+    sigma: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-sample compositing weights from raw sigma alone — the geometry
+    half of `volume_render` with no color pipeline.
+
+    Equivalent of the reference's DensityExtractor
+    (src/nerf/modules.py:124-145; instantiated nowhere there — rebuilt as
+    a working op). Takes sigma (..., S) directly rather than a (..., S, 4)
+    radiance field so callers on the sigma-only fused kernel path (density
+    grids, surface queries) feed its output straight in without ever
+    materializing a channel-minor field.
+    """
+    one_e_10 = jnp.full_like(depth_values[..., :1], 1e10)
+    dists = jnp.concatenate(
+        [depth_values[..., 1:] - depth_values[..., :-1], one_e_10], axis=-1
+    )
+    dists = dists * jnp.linalg.norm(ray_directions, axis=-1)[..., None]
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    return alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
