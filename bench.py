@@ -114,6 +114,41 @@ def _probe_network(timeout_s: float = 3.0) -> bool:
     return bool(hit)
 
 
+# bf16 MXU peak per chip, by jax device_kind. v5e ("TPU v5 lite"):
+# 197 TFLOP/s bf16 (394 int8 — measured slower than bf16 through Mosaic
+# on this part; see CLAUDE.md). MFU fields are null on unknown hardware.
+_BF16_PEAK_BY_KIND = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+}
+
+
+def _flexible_mlp_flops(mcfg) -> tuple[float, float]:
+    """(full, sigma_only) matmul FLOPs per evaluated point of a
+    FlexibleNeRFModel (models/nerf_models.py:38 — mirrors the layer
+    structure exactly: input layer, num_layers-1 hidden with PE-concat
+    skip every skip_step, feat/alpha heads, view branch, rgb head).
+
+    Counts 2*in*out per Dense (multiply+add on the MXU); elementwise
+    (PE, relu, sigmoid) is excluded — it rides the VPU and is not the
+    resource MFU measures."""
+    h = int(mcfg.hidden_size)
+    dim_x = 3 * (2 * int(mcfg.num_encoding_fn_xyz) + int(bool(mcfg.include_input_xyz)))
+    dim_d = 3 * (2 * int(mcfg.num_encoding_fn_dir) + int(bool(mcfg.include_input_dir)))
+    n_layers = int(mcfg.num_layers)
+    skip = int(mcfg.skip_step)
+    mults = dim_x * h
+    for i in range(n_layers - 1):
+        fan_in = h + (dim_x if (i % skip == 0 and i > 0 and i != n_layers - 1) else 0)
+        mults += fan_in * h
+    sigma = mults + h * 1
+    if bool(mcfg.use_viewdirs):
+        full = mults + h * h + h * 1 + (h + dim_d) * (h // 2) + (h // 2) * 3
+    else:
+        full = mults + h * 4
+    return 2.0 * full, 2.0 * sigma
+
+
 def main() -> None:
     import jax
 
@@ -268,9 +303,62 @@ def main() -> None:
         buff_calls(5)
         return 5 * 20 * int(bcfg.nerf.train.num_random_rays) / (time.time() - t0)
 
+    def _sharded_ab():
+        # VERDICT r3 item 2: the exact multi-chip program (shard_map +
+        # axis_index key folding + pmean collectives) on a 1-element mesh
+        # axis, timed against the unsharded run above on the same chip.
+        # Pins a no-regression contract for the code a real slice runs.
+        from nerfmeshes_tpu.parallel.mesh import create_mesh
+
+        m = create_mesh(jax.devices())
+        fn = make_train_step(
+            cfg,
+            coarse,
+            fine,
+            optimizer,
+            H=int(H),
+            W=int(W),
+            focal=float(focal),
+            mesh=m,
+            force_shard=True,
+        )
+        # Fresh params/state: the unsharded loop donated the originals.
+        p = init_params(cfg, coarse, fine, jax.random.key(0))
+        s = init_train_state(p, optimizer, seed=0)
+        s, mm = fn(s, data)
+        jax.block_until_ready(mm["train/loss"])
+        t0 = time.time()
+        for _ in range(n_calls):
+            s, mm = fn(s, data)
+        jax.block_until_ready(mm["train/loss"])
+        return total_rays / (time.time() - t0)
+
     render_rays_per_sec = _side(_render_metric)
     grid_pts_per_sec = _side(_grid_metric)
     buff_rays_per_sec = _side(_buff_metric)
+    sharded_rays_per_sec = _side(_sharded_ab)
+
+    # Auditable MFU (VERDICT r3 item 4): analytic model matmul FLOPs vs
+    # the chip's bf16 peak. Train counts fwd+bwd as 3x forward (the
+    # standard convention; the fused kernel actually RECOMPUTES the
+    # forward in its backward — remat — so hardware executes ~4/3 of the
+    # counted FLOPs and true MXU occupancy is higher than train_mfu).
+    coarse_fpp, _ = _flexible_mlp_flops(cfg.models.coarse)
+    fine_fpp, fine_sigma_fpp = _flexible_mlp_flops(cfg.models.fine)
+    n_coarse = int(cfg.nerf.train.num_coarse)
+    n_total = n_coarse + int(cfg.nerf.train.num_fine)  # fine net sees merged z
+    render_flops_per_ray = n_coarse * coarse_fpp + n_total * fine_fpp
+    train_flops_per_step = rays_per_step * 3.0 * render_flops_per_ray
+    peak = _BF16_PEAK_BY_KIND.get(jax.devices()[0].device_kind)
+
+    def _mfu(flops_per_unit, units_per_sec):
+        if peak is None or not units_per_sec:
+            return None
+        return round(flops_per_unit * units_per_sec / peak, 4)
+
+    train_mfu = _mfu(train_flops_per_step, n_calls * steps_per_call / elapsed)
+    render_mfu = _mfu(render_flops_per_ray, render_rays_per_sec)
+    grid_mfu = _mfu(fine_sigma_fpp, grid_pts_per_sec)
 
     details = {
         "device": str(jax.devices()[0]),
@@ -286,6 +374,23 @@ def main() -> None:
         else None,
         "final_loss": float(metrics["train/loss"]),
         "baseline_train_rays_per_sec": baseline,
+        "sharded_train_rays_per_sec": sharded_rays_per_sec,
+        "sharded_vs_unsharded": round(sharded_rays_per_sec / rays_per_sec, 4)
+        if sharded_rays_per_sec
+        else None,
+        "train_mfu": train_mfu,
+        "render_mfu": render_mfu,
+        "grid_mfu": grid_mfu,
+        "mfu_bf16_peak_flops": peak,
+        "mfu_formula": (
+            "Dense matmul FLOPs only (2*in*out per layer, FlexibleNeRF "
+            f"8x256 L_xyz=10 L_dir=4: full={fine_fpp:.0f}, "
+            f"sigma_only={fine_sigma_fpp:.0f} FLOPs/pt); "
+            f"render/ray = {n_coarse}*coarse_full + {n_total}*fine_full = "
+            f"{render_flops_per_ray:.0f}; train/step = rays*3*render_ray "
+            f"(fwd+bwd=3x fwd; the remat backward re-executes the forward, "
+            "so hardware FLOPs ~ 4/3 of counted)"
+        ),
         # Re-probed every bench run (VERDICT r2 item 9): if the network
         # ever appears, scripts/download_datasets.py + real-lego parity
         # become the immediate top priority next round.

@@ -34,15 +34,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def maybe_shard(fn, mesh: Optional[Mesh], in_specs, out_specs):
+def maybe_shard(fn, mesh: Optional[Mesh], in_specs, out_specs, *, force: bool = False):
     """shard_map `fn` over the mesh, or return it unchanged on a single
     device (mesh None / size 1).
 
     One home for the repeated wrap boilerplate (train step, render chunk,
     rgb loop, BuFF variants, mesh grid eval). check_vma=False everywhere:
     the step/render bodies perform their own EXPLICIT collectives (pmean
-    grads/metrics, psum voxel accumulators) — see the module docstring."""
-    if mesh is None or mesh.size <= 1:
+    grads/metrics, psum voxel accumulators) — see the module docstring.
+
+    `force=True` wraps even a size-1 mesh: identical math, but the program
+    goes through shard_map + the (no-op) collectives. bench.py uses this
+    for the sharded-vs-unsharded A/B on the single real TPU chip, pinning
+    a no-regression contract for the code path a real slice would run."""
+    if mesh is None or (mesh.size <= 1 and not force):
         return fn
     from jax import shard_map
 

@@ -149,12 +149,18 @@ def make_train_step(
     steps_per_call: Optional[int] = None,
     donate: bool = True,
     intrinsics=None,
+    force_shard: bool = False,
 ):
     """Build the jitted multi-step train function.
 
     Returns fn(state, data) -> (state, metrics) advancing
     `steps_per_call` optimizer steps per call (metrics from the last step,
     matching per-step logging cadence).
+
+    `force_shard=True` builds the full sharded program (shard_map +
+    axis_index key folding + pmean collectives) even on a size-1 mesh —
+    the exact multi-chip program on a 1-element axis. bench.py uses it
+    for the sharded-vs-unsharded no-regression A/B on the one real chip.
     """
     settings = RenderSettings.from_cfg(cfg, train=True)
     num_rays = int(cfg.nerf.train.num_random_rays)
@@ -214,6 +220,7 @@ def make_train_step(
             f"num_random_rays {num_rays} must be divisible by the mesh size {n_shards}"
         )
     local_rays = num_rays // max(n_shards, 1)
+    sharded_body = n_shards > 1 or (force_shard and mesh is not None)
 
     def one_step(state: TrainState, data) -> tuple[TrainState, dict]:
         """Per-device step body. Under shard_map each device samples its own
@@ -221,7 +228,7 @@ def make_train_step(
         axis index), computes local grads, and psums them — data parallelism
         over rays with replicated params, grads reduced over ICI."""
         key, k_sample, k_render = jax.random.split(state.key, 3)
-        if n_shards > 1:
+        if sharded_body:
             shard = jax.lax.axis_index(DATA_AXIS)
             k_img, k_pix = jax.random.split(k_sample)
             k_pix = jax.random.fold_in(k_pix, shard)
@@ -241,7 +248,7 @@ def make_train_step(
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, origins, directions, targets, near, far, depth_tgt, k_render
         )
-        if n_shards > 1:
+        if sharded_body:
             grads = jax.tree_util.tree_map(
                 lambda g: jax.lax.pmean(g, DATA_AXIS), grads
             )
@@ -272,7 +279,9 @@ def make_train_step(
     # Everything (params, data) is replicated; the ray axis materializes
     # only inside the per-device body, so Pallas kernels run as-is per
     # device and the only collective is the gradient/metric pmean.
-    sharded = maybe_shard(multi_step, mesh, (P(), P()), (P(), P()))
+    sharded = maybe_shard(
+        multi_step, mesh, (P(), P()), (P(), P()), force=force_shard
+    )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
