@@ -323,9 +323,16 @@ def main() -> None:
             force_shard=True,
         )
         # Fresh params/state: the unsharded loop donated the originals.
+        # Both operands replicated over the mesh UP FRONT, exactly as
+        # NeRFSystem._replicate does — an input committed to a single
+        # device is resharded on every call (a no-op copy that costs
+        # ~6-17x through the tunnel; scripts/diag_shardmap.py).
+        from nerfmeshes_tpu.parallel.mesh import replicated
+
         p = init_params(cfg, coarse, fine, jax.random.key(0))
-        s = init_train_state(p, optimizer, seed=0)
-        s, mm = fn(s, data)
+        s = jax.device_put(init_train_state(p, optimizer, seed=0), replicated(m))
+        data_r = jax.device_put(data, replicated(m))
+        s, mm = fn(s, data_r)
         jax.block_until_ready(mm["train/loss"])
         t0 = time.time()
         for _ in range(n_calls):

@@ -292,7 +292,7 @@ class BuFFSystem(NeRFSystem):
         cfg.models.use_fine = False
         super().__init__(cfg, paths, mesh)
         self.tree = TreeSampling(cfg)
-        self.tree_state = self.tree.device_state()
+        self.tree_state = self._replicate(self.tree.device_state())
 
     def setup(self, train_dataset=None, val_dataset=None):
         super().setup(train_dataset, val_dataset)
@@ -500,7 +500,7 @@ class BuFFSystem(NeRFSystem):
             if cur % self.tree.step_size_tree < spc:
                 self._log_tree(step)
                 memm = np.asarray(self.tree_state.memm)
-                self.tree_state = self.tree.consolidate(memm)
+                self.tree_state = self._replicate(self.tree.consolidate(memm))
                 self._log_tree(step + 1)
 
     def _chord_cap_ceiling(self) -> int:
@@ -579,10 +579,4 @@ class BuFFSystem(NeRFSystem):
 
     def load_checkpoint_extra(self, extra: dict) -> None:
         if "tree" in extra:
-            self.tree_state = self.tree.deserialize(extra["tree"])
-            if self.mesh is not None:
-                from nerfmeshes_tpu.parallel.mesh import replicated
-
-                self.tree_state = jax.device_put(
-                    self.tree_state, replicated(self.mesh)
-                )
+            self.tree_state = self._replicate(self.tree.deserialize(extra["tree"]))

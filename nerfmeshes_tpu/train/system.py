@@ -70,7 +70,7 @@ class NeRFSystem:
 
         seed = int(cfg.experiment.randomseed)
         params = init_params(self.cfg, self.coarse, self.fine, jax.random.key(seed))
-        self.state = init_train_state(params, self.optimizer, seed)
+        self.state = self._replicate(init_train_state(params, self.optimizer, seed))
 
         self.train_dataset: Optional[RayDataset] = None
         self.val_dataset: Optional[RayDataset] = None
@@ -87,13 +87,28 @@ class NeRFSystem:
             CheckpointManager(str(paths.checkpoint_dir)) if paths is not None else None
         )
 
+    def _replicate(self, x):
+        """Place a pytree replicated over the mesh (no-op without one).
+
+        Every operand of a mesh-sharded program must already carry the
+        mesh's NamedSharding: an input committed to a single device is
+        RE-SHARDED on every call — logically a no-op replication, but it
+        costs a full host-side copy per call through a TPU tunnel (measured
+        6-17x train-step slowdown before this placement existed;
+        scripts/diag_shardmap.py reproduces, BASELINE.md r4 has the A/B)."""
+        if self.mesh is None or x is None:
+            return x
+        from nerfmeshes_tpu.parallel.mesh import replicated
+
+        return jax.device_put(x, replicated(self.mesh))
+
     # -- setup ---------------------------------------------------------------
     def setup(self, train_dataset=None, val_dataset=None):
         self.train_dataset = train_dataset or build_dataset(self.cfg, DatasetType.TRAIN)
         self.val_dataset = val_dataset or build_dataset(self.cfg, DatasetType.VALIDATION)
 
         H, W, focal = self.train_dataset.hwf
-        self._data = self.train_dataset.device_arrays()
+        self._data = self._replicate(self.train_dataset.device_arrays())
         self._train_fn = make_train_step(
             self.cfg,
             self.coarse,
@@ -545,14 +560,11 @@ class NeRFSystem:
         self.state, extra = self.ckpt.restore(
             self.state, step=step, last=last, extra_template=self.checkpoint_extra() or None
         )
-        if self.mesh is not None:
-            # Restored arrays come back committed to one device; the
-            # sharded train/render programs need them replicated over the
-            # mesh (a committed single-device placement is a hard error
-            # under shard_map, not a silent transfer).
-            from nerfmeshes_tpu.parallel.mesh import replicated
-
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+        # Restored arrays come back committed to one device; the sharded
+        # train/render programs need them replicated over the mesh (a
+        # committed single-device placement is a hard error under
+        # shard_map, not a silent transfer).
+        self.state = self._replicate(self.state)
         self.load_checkpoint_extra(extra)
         return self
 

@@ -37,6 +37,17 @@ def main():
     ap.add_argument("--mesh-res", type=int, default=480)
     ap.add_argument("--gt-samples", type=int, default=512)
     ap.add_argument("--out", default="quality_800.json")
+    ap.add_argument(
+        "--skip-mesh", action="store_true",
+        help="skip the 480^3 mesh + chamfer block (e.g. SSIM-only re-measures)",
+    )
+    ap.add_argument(
+        "--ss-ab", type=int, default=0, metavar="RES",
+        help="run the super-sampling A/B (ss in {0,1,2}) at RES^3 on the "
+        "trained field: chamfer + wall per setting (VERDICT r3 #5 — the "
+        "reference stubs --super-sampling, src/mesh_nerf.py:95-128; ours "
+        "works and this measures whether the anti-aliasing helps)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -123,22 +134,8 @@ def main():
 
     # Mesh extraction at demo scale + chamfer against the analytic surface.
     from nerfmeshes_tpu.mesh import MeshArgs, chamfer_distance, extract_geometry
+    from nerfmeshes_tpu.mesh.extract import extract_geometry_with_super_sampling
     from nerfmeshes_tpu.mesh.metrics import sample_points_from_mesh
-
-    t0 = time.time()
-    verts, faces, _, _ = extract_geometry(
-        system.sample_points,
-        # iso 10, not the demo default 30: the r3 iso sweep
-        # (iso_sweep_*.json) located the geometric optimum at ~10, where
-        # chamfer improves strictly with training (0.0488 -> 0.0319 RMS
-        # from 20k -> 250k steps); at 30 the level set drifts as the field
-        # sharpens, making chamfer non-monotone in training length.
-        MeshArgs(res=args.mesh_res, limit=1.2, iso_level=10.0),
-        density_fn=system.density_apply,
-        density_params=system.finest_params,
-    )
-    mesh_s = time.time() - t0
-    print(f"mesh {args.mesh_res}^3: {len(verts)} verts in {mesh_s:.1f}s", flush=True)
 
     # Analytic surface points: uniform box samples Newton-projected onto
     # the SDF zero set (5 iterations; |sdf| < 1e-3 kept).
@@ -161,11 +158,75 @@ def main():
     rng = np.random.default_rng(0)
     n_cmp = 20000
     surf = surf[rng.choice(len(surf), size=n_cmp, replace=len(surf) < n_cmp)]
-    mesh_pts = sample_points_from_mesh(verts, faces, n_cmp)
-    # Raw world coordinates on both sides — no normalization: the scene
-    # and the grid share the frame, so chamfer is in scene units.
-    chamfer = chamfer_distance(surf, mesh_pts)
-    print(f"chamfer (squared, scene units): {chamfer:.3e}", flush=True)
+
+    def chamfer_of(verts, faces):
+        # Raw world coordinates on both sides — no normalization: the
+        # scene and the grid share the frame, so chamfer is in scene units.
+        mesh_pts = sample_points_from_mesh(verts, faces, n_cmp)
+        return float(chamfer_distance(surf, mesh_pts))
+
+    mesh_s = mesh_res = chamfer = verts = None
+    if not args.skip_mesh:
+        t0 = time.time()
+        verts, faces, _, _ = extract_geometry(
+            system.sample_points,
+            # iso 10, not the demo default 30: the r3 iso sweep
+            # (iso_sweep_*.json) located the geometric optimum at ~10, where
+            # chamfer improves strictly with training (0.0488 -> 0.0319 RMS
+            # from 20k -> 250k steps); at 30 the level set drifts as the
+            # field sharpens, making chamfer non-monotone in training length.
+            MeshArgs(res=args.mesh_res, limit=1.2, iso_level=10.0),
+            density_fn=system.density_apply,
+            density_params=system.finest_params,
+        )
+        mesh_s = time.time() - t0
+        mesh_res = args.mesh_res
+        print(
+            f"mesh {args.mesh_res}^3: {len(verts)} verts in {mesh_s:.1f}s",
+            flush=True,
+        )
+        chamfer = chamfer_of(verts, faces)
+        print(f"chamfer (squared, scene units): {chamfer:.3e}", flush=True)
+
+    # Super-sampling A/B (VERDICT r3 #5): ss in {0, 1, 2} at --ss-ab RES^3
+    # on the SAME trained field. ss=0 is the plain path; ss>=1 evaluates
+    # s extra offset grids per axis and averages sigma before marching —
+    # the anti-aliasing the reference's --super-sampling flag promises
+    # but stubs out (src/mesh_nerf.py:95-128). Wall time is the second
+    # call in-process (the first pays one-time tunnel/compile costs).
+    ss_ab = []
+    if args.ss_ab:
+        for ss in (0, 1, 2):
+            margs = MeshArgs(
+                res=args.ss_ab, limit=1.2, iso_level=10.0, super_sampling=ss
+            )
+            fn = (
+                extract_geometry_with_super_sampling
+                if ss >= 1
+                else extract_geometry
+            )
+            wall = []
+            for _ in range(2):
+                t0 = time.time()
+                v, f, _, _ = fn(
+                    system.sample_points,
+                    margs,
+                    density_fn=system.density_apply,
+                    density_params=system.finest_params,
+                )
+                wall.append(time.time() - t0)
+            ch = chamfer_of(v, f)
+            row = {
+                "super_sampling": ss,
+                "res": args.ss_ab,
+                "vertices": int(len(v)),
+                "chamfer_sq": ch,
+                "chamfer_rms": float(np.sqrt(ch / 2.0)),
+                "wall_s_cold": wall[0],
+                "wall_s_warm": wall[1],
+            }
+            ss_ab.append(row)
+            print(f"ss-ab: {json.dumps(row)}", flush=True)
 
     result = {
         "scene": "hard",
@@ -180,12 +241,17 @@ def main():
         "val_psnr_per_image": [float(p) for p in psnrs],
         "val_ssim": float(np.mean(ssims)),
         "eval_s": eval_s,
-        "mesh_res": args.mesh_res,
-        "mesh_vertices": int(len(verts)),
-        "mesh_s": mesh_s,
-        "chamfer_sq": float(chamfer),
-        "chamfer_rms": float(np.sqrt(chamfer / 2.0)),
     }
+    if not args.skip_mesh:
+        result.update(
+            mesh_res=mesh_res,
+            mesh_vertices=int(len(verts)),
+            mesh_s=mesh_s,
+            chamfer_sq=float(chamfer),
+            chamfer_rms=float(np.sqrt(chamfer / 2.0)),
+        )
+    if ss_ab:
+        result["super_sampling_ab"] = ss_ab
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=2)
     print(json.dumps(result, indent=2))

@@ -196,6 +196,74 @@ def test_nerf_fit_multidevice_e2e(tmp_path):
     np.testing.assert_allclose(re_val, last, rtol=1e-5)
 
 
+def test_topology_change_resume(tmp_path):
+    """Checkpoints are topology-portable: save under the 8-device mesh,
+    restore and continue on 1 device, save there, restore back onto 8.
+
+    Pinned contracts: (a) a disk round-trip on the SAME topology does not
+    perturb the continued trajectory (params/step/key bit-restore, so one
+    more steps_per_call block reproduces exactly); (b) cross-topology
+    restores (8→1 and 1→8) are exact — validation reproduces — and
+    training continues on the new topology. Trajectories across DIFFERENT
+    topologies legitimately diverge (per-device axis_index key folding),
+    so only same-topology trajectories are compared."""
+    cfg = tiny_cfg()
+    cfg.experiment.train_iters = 30
+    cfg.experiment.validate_every = 30
+    cfg.experiment.print_every = 30
+    cfg.experiment.steps_per_call = 10
+    train_ds = SyntheticDataset(cfg, DatasetType.TRAIN, num_images=4, image_size=16)
+    val_ds = SyntheticDataset(cfg, DatasetType.VALIDATION, num_images=2, image_size=16)
+
+    mesh8 = create_mesh()
+    paths = ExperimentPaths(tmp_path / "topo").create()
+    sys8 = NeRFSystem(cfg, paths, mesh=mesh8)
+    sys8.setup(train_ds, val_ds)
+    sys8.fit()  # validates + checkpoints at step 30
+    assert int(sys8.state.step) == 30
+    val8 = sys8.validate(log_images=False, step=0)["validation/loss"]
+
+    # (a) same-topology round-trip: one more block, original vs restored.
+    cont_state, cont_metrics = sys8._train_fn(sys8.state, sys8._data)
+    re8 = NeRFSystem(cfg, paths, mesh=mesh8)
+    re8.setup(train_ds, val_ds)
+    re8.restore(last=True)
+    assert int(re8.state.step) == 30
+    re_state, re_metrics = re8._train_fn(re8.state, re8._data)
+    np.testing.assert_allclose(
+        float(re_metrics["train/loss"]), float(cont_metrics["train/loss"]),
+        rtol=1e-6,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        ),
+        re_state.params, cont_state.params,
+    )
+
+    # (b) 8 → 1: restore onto a single device; exact val, then continue.
+    sys1 = NeRFSystem(cfg, paths, mesh=None)
+    sys1.setup(train_ds, val_ds)
+    sys1.restore(last=True)
+    assert int(sys1.state.step) == 30
+    val1 = sys1.validate(log_images=False, step=0)["validation/loss"]
+    np.testing.assert_allclose(val1, val8, rtol=1e-5)
+    sys1.fit(max_steps=40)  # one block on the new topology; saves at 40
+    assert int(sys1.state.step) == 40
+    val1_end = sys1.validate(log_images=False, step=0)["validation/loss"]
+    assert np.isfinite(val1_end)
+
+    # 1 → 8: the single-device checkpoint restores back onto the mesh.
+    back8 = NeRFSystem(cfg, paths, mesh=mesh8)
+    back8.setup(train_ds, val_ds)
+    back8.restore(last=True)
+    assert int(back8.state.step) == 40
+    val_back = back8.validate(log_images=False, step=0)["validation/loss"]
+    np.testing.assert_allclose(val_back, val1_end, rtol=1e-5)
+    _, metrics_next = back8._train_fn(back8.state, back8._data)
+    assert np.isfinite(float(metrics_next["train/loss"]))
+
+
 def test_buff_fit_multidevice_e2e(tmp_path):
     """BuFFSystem multi-device fit through TWO consolidation boundaries
     AND a chord-cap recompile, with sharded validation + checkpoint
