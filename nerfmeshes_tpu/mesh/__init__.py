@@ -15,6 +15,11 @@ from nerfmeshes_tpu.mesh.metrics import (
     sample_points_from_mesh,
 )
 from nerfmeshes_tpu.mesh.native import marching_cubes
+from nerfmeshes_tpu.mesh.surface_ray import (
+    export_surface_ray,
+    neighborhood_consistency_mask,
+    surface_points_from_views,
+)
 
 __all__ = [
     "MeshArgs",
@@ -32,4 +37,7 @@ __all__ = [
     "normalize_mesh",
     "sample_points_from_mesh",
     "marching_cubes",
+    "export_surface_ray",
+    "neighborhood_consistency_mask",
+    "surface_points_from_views",
 ]
