@@ -336,7 +336,7 @@ def main() -> None:
         jax.block_until_ready(mm["train/loss"])
         t0 = time.time()
         for _ in range(n_calls):
-            s, mm = fn(s, data)
+            s, mm = fn(s, data_r)
         jax.block_until_ready(mm["train/loss"])
         return total_rays / (time.time() - t0)
 

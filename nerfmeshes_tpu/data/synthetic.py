@@ -243,21 +243,27 @@ def make_synthetic_dataset(
 
 
 def write_blender_style_dataset(
-    root: str, splits=("train", "val", "test"), num_images: int = 6, image_size: int = 24
+    root: str, splits=("train", "val", "test"), num_images: int = 6,
+    image_size: int = 24, scene: str = "blobs", num_samples: int = 256,
 ) -> None:
     """Materialize the synthetic scene as a Blender-format dataset on disk
-    (transforms_{split}.json + PNGs) to exercise the real loader path."""
+    (transforms_{split}.json + PNGs) to exercise the real loader path.
+
+    `num_images` may be an int (every split) or a dict per split name —
+    benchmark-scale generation wants many train views but few test ones."""
     import imageio.v2 as imageio
 
     camera_angle_x = 0.6911
     for si, split in enumerate(splits):
+        n = num_images[split] if isinstance(num_images, dict) else num_images
         bundle = make_synthetic_dataset(
-            num_images=num_images, image_size=image_size, seed=si
+            num_images=n, image_size=image_size, seed=si, scene=scene,
+            num_samples=num_samples,
         )
         split_dir = Path(root) / split
         os.makedirs(split_dir, exist_ok=True)
         frames = []
-        for i in range(num_images):
+        for i in range(n):
             name = f"./{split}/r_{i}"
             img = (np.clip(bundle.ray_targets[i], 0, 1) * 255).astype(np.uint8)
             imageio.imwrite(str(Path(root) / f"{name}.png"), img)
