@@ -27,6 +27,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--img-size", type=int, default=800)
+    ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--out", default="surface_ray_evidence.json")
     args = ap.parse_args()
 
@@ -46,6 +47,11 @@ def main() -> None:
     from nerfmeshes_tpu.train.system import NeRFSystem
 
     cfg = get_default_cfg()
+    # The schema default keeps the reference's shipped lr=5e-3, which can
+    # collapse the fine network early (BASELINE.md quality caveat) — the
+    # first run of this script hit exactly that: fine rendered all-zero,
+    # every view masked to 0 points. Train at the stable lr.
+    cfg.optimizer.lr = args.lr
     cfg.experiment.compute_dtype = "bfloat16"
     cfg.experiment.steps_per_call = 50
     cfg.experiment.train_iters = args.steps
@@ -79,6 +85,12 @@ def main() -> None:
         f"surface-ray: {len(points)} points from {n_views} x {args.img_size}^2 "
         f"views in {export_s:.1f}s", flush=True,
     )
+    if len(points) == 0:
+        sys.exit(
+            "surface-ray export kept 0 points — the field is degenerate "
+            "(collapsed fine net?) or the consistency thresholds reject "
+            "everything; no evidence to score."
+        )
 
     # Analytic surface points (quality_800's Newton projection, verbatim).
     @jax.jit
