@@ -11,6 +11,16 @@ from __future__ import annotations
 import numpy as np
 
 
+def _colors_u8(colors) -> np.ndarray:
+    """PLY color bytes: uint8 arrays pass through untouched (already
+    device-quantized — re-quantizing floor(u8/255*255) can lose an LSB to
+    f32 rounding); float [0, 1] colors are scaled and truncated."""
+    colors = np.asarray(colors)
+    if colors.dtype == np.uint8:
+        return colors
+    return np.clip(colors * 255.0, 0, 255).astype(np.uint8)
+
+
 def export_obj(vertices, triangles, diffuse, normals, filename: str) -> None:
     vertices = np.asarray(vertices)
     triangles = np.asarray(triangles)
@@ -91,7 +101,7 @@ def export_ply(vertices, triangles=None, colors=None, normals=None, filename="ou
                 row += list(np.asarray(normals)[i])
             line = " ".join(f"{x}" for x in row)
             if has_c:
-                c = np.clip(np.asarray(colors)[i] * 255, 0, 255).astype(int)
+                c = _colors_u8(colors)[i]
                 line += " {} {} {}".format(*c)
             fh.write(line + "\n")
         for f in tris:
@@ -126,7 +136,7 @@ def export_ply_binary(vertices, triangles=None, colors=None, normals=None,
         nrm = np.ascontiguousarray(normals, np.float32)
         vdata["nx"], vdata["ny"], vdata["nz"] = nrm.T
     if has_c:
-        c = np.clip(np.asarray(colors) * 255.0, 0, 255).astype(np.uint8)
+        c = _colors_u8(colors)
         vdata["red"], vdata["green"], vdata["blue"] = c.T
 
     fdata = np.empty(len(tris), dtype=[("count", "u1"), ("idx", "<i4", (3,))])

@@ -89,6 +89,44 @@ def orbit_poses(
     )
 
 
+def _pixel_dirs_cam(h: int, w: int, focal: float) -> np.ndarray:
+    """Host-side camera-space unit pixel directions — the numpy mirror of
+    ``ops.rays.pixel_directions`` under ``CameraIntrinsics.from_hwf``
+    (OpenGL convention: -z forward, y up, centered principal point).
+    Normals are view directions rotated by each pose; computing them on
+    host avoids fetching the (H, W, 3) world-direction map per view."""
+    ii, jj = np.meshgrid(
+        np.arange(w, dtype=np.float32),
+        np.arange(h, dtype=np.float32),
+        indexing="xy",
+    )
+    dirs = np.stack(
+        [(ii - w * 0.5) / focal, -(jj - h * 0.5) / focal, -np.ones_like(ii)],
+        axis=-1,
+    )
+    return dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("step_size",))
+def _mask_pack(origin, dirs, depth, rgb, dist_threshold, prob_threshold,
+               *, step_size: int = 2):
+    """Device post-render pass: lift depths to surface points, run the
+    consistency mask, quantize color — so the host fetch per view is
+    points f32 + mask bool + rgb uint8 (~10 MB at 800^2) instead of the
+    old depth/rgb/dirs f32 maps plus a points re-upload (~26 MB)."""
+    h, w = dirs.shape[:2]
+    depth = depth.reshape(h, w)
+    points = origin.reshape(1, 1, 3) + dirs * depth[..., None]
+    mask = neighborhood_consistency_mask(
+        points,
+        step_size=step_size,
+        dist_threshold=dist_threshold,
+        prob_threshold=prob_threshold,
+    ) & (depth > 0)
+    rgb_u8 = jnp.clip(rgb.reshape(h, w, 3) * 255.0, 0, 255).astype(jnp.uint8)
+    return points, mask, rgb_u8
+
+
 def surface_points_from_views(
     system,
     poses: Sequence[np.ndarray],
@@ -103,48 +141,57 @@ def surface_points_from_views(
     """Ray-cast ``poses`` through ``system`` and collect masked surface
     points (reference loop at ``mesh_surface_ray.py:93-145``).
 
-    ``system`` needs ``query_rays(o, d, near, far, fields=...)`` returning
-    maps with ``rgb_map`` and ``depth_map`` (NeRFSystem/BuFFSystem both
-    qualify).
+    ``system`` needs ``query_rays(o, d, near, far, fields=..., as_numpy=
+    False)`` returning maps with ``rgb_map`` and ``depth_map``
+    (NeRFSystem/BuFFSystem both qualify; numpy-returning stand-ins work
+    too — outputs are re-wrapped as device arrays).
+
+    All views are DISPATCHED before any is fetched (the render + mask
+    programs queue asynchronously); per view only the packed
+    points/mask/uint8-color triple crosses the host boundary, and normals
+    come from rotating one cached camera-space direction grid by each
+    pose on the host.
 
     Returns:
         (points, normals, colors): float32 (N, 3) host arrays. Normals are
-        the negated view directions; colors in [0, 1].
+        the negated view directions; colors in [0, 1] (uint8-quantized —
+        exactly what the PLY stores).
     """
     from nerfmeshes_tpu.ops.rays import get_ray_bundle
 
     h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
-    pts_all, nrm_all, rgb_all = [], [], []
-    for i, pose in enumerate(poses):
-        origin, dirs = get_ray_bundle(h, w, focal, jnp.asarray(pose, jnp.float32))
-        dirs_flat = dirs.reshape(-1, 3)
-        o_flat = jnp.broadcast_to(origin.reshape(-1, 3), dirs_flat.shape)
-        out = system.query_rays(
-            o_flat, dirs_flat, float(near), float(far),
-            fields=("rgb_map", "depth_map"),
-        )
-        depth = np.asarray(out.depth_map, np.float32).reshape(h, w)
-        rgb = np.asarray(out.rgb_map, np.float32).reshape(h, w, 3)
-        d_host = np.asarray(dirs, np.float32).reshape(h, w, 3)
-        o_host = np.asarray(origin, np.float32).reshape(3)
+    dirs_cam = _pixel_dirs_cam(h, w, focal)
 
-        points = o_host + d_host * depth[..., None]
-        mask = np.asarray(
-            neighborhood_consistency_mask(
-                jnp.asarray(points),
-                step_size=step_size,
-                dist_threshold=dist_threshold,
-                prob_threshold=prob_threshold,
-            )
-        ) & (depth > 0)
+    pending = []
+    for pose in poses:
+        origin, dirs = get_ray_bundle(h, w, focal, jnp.asarray(pose, jnp.float32))
+        out = system.query_rays(
+            origin.reshape(1, 3), dirs.reshape(-1, 3), float(near), float(far),
+            fields=("rgb_map", "depth_map"), as_numpy=False,
+        )
+        pending.append((pose, _mask_pack(
+            origin, dirs,
+            jnp.asarray(out.depth_map, jnp.float32),
+            jnp.asarray(out.rgb_map, jnp.float32),
+            dist_threshold, prob_threshold,
+            step_size=int(step_size),
+        )))
+
+    pts_all, nrm_all, rgb_all = [], [], []
+    for i, (pose, (points_d, mask_d, rgb_d)) in enumerate(pending):
+        mask = np.asarray(mask_d)
+        points = np.asarray(points_d, np.float32)
+        rgb = np.asarray(rgb_d)
+        rot = np.asarray(pose, np.float32)[:3, :3]
+        world_dirs = dirs_cam @ rot.T
 
         pts_all.append(points[mask])
-        nrm_all.append(-d_host[mask])
-        rgb_all.append(rgb[mask])
+        nrm_all.append(-world_dirs[mask])
+        rgb_all.append(rgb[mask].astype(np.float32) / 255.0)
         if log_every and (i + 1) % log_every == 0:
             kept = sum(len(p) for p in pts_all)
             print(
-                f"[surface-ray] view {i + 1}/{len(poses)}: {kept} points kept",
+                f"[surface-ray] view {i + 1}/{len(pending)}: {kept} points kept",
                 flush=True,
             )
 

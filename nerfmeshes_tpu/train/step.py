@@ -458,6 +458,7 @@ def render_image(
     *,
     chunk_size: int,
     fields: Optional[tuple] = None,
+    as_numpy: bool = True,
 ):
     """Render an arbitrary number of rays through the fixed-shape jitted
     chunk renderer (pads the tail chunk; host assembles the maps).
@@ -469,6 +470,9 @@ def render_image(
     (others come back None). The per-sample maps (weights/mask_weights)
     are ~25MB/chunk at validation settings — transferring them when the
     caller only wants rgb dominates wall time through a TPU tunnel.
+    `as_numpy=False` keeps the kept fields as DEVICE arrays (concatenated,
+    unfetched) for callers that post-process on device (e.g. the
+    surface-ray exporter's consistency mask) and fetch less later.
     """
     import numpy as np
 
@@ -508,7 +512,8 @@ def render_image(
             if vals[0] is None or (fields is not None and name not in fields):
                 out[name] = None
                 continue
-            out[name] = np.asarray(jnp.concatenate(vals, 0)[:R])
+            arr = jnp.concatenate(vals, 0)[:R]
+            out[name] = np.asarray(arr) if as_numpy else arr
         return type(bundles[0])(**out)
 
     return (

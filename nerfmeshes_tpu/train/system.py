@@ -142,11 +142,12 @@ class NeRFSystem:
 
     # -- queries ------------------------------------------------------------------
     def query_rays(self, origins, directions, near, far, chunk: Optional[int] = None,
-                   fields: Optional[tuple] = None):
+                   fields: Optional[tuple] = None, as_numpy: bool = True):
         """Render arbitrary rays with the finest model (validation settings);
         analog of NeRFModel.query (src/models/model_nerf.py:80-86).
         `fields` limits which maps are fetched to the host (see
-        render_image) — ask for ("rgb_map",) unless you need more."""
+        render_image) — ask for ("rgb_map",) unless you need more;
+        `as_numpy=False` returns device arrays instead of fetching."""
         chunk = self._chunk(chunk or self.cfg.nerf.validation.chunksize)
         coarse, fine = render_image(
             self._render_chunk,
@@ -157,6 +158,7 @@ class NeRFSystem:
             float(far),
             chunk_size=chunk,
             fields=fields,
+            as_numpy=as_numpy,
         )
         return fine if fine is not None else coarse
 

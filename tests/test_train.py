@@ -75,6 +75,24 @@ def test_query_rays_shapes(trained):
     assert np.isfinite(out.rgb_map).all()
 
 
+def test_query_rays_device_path_matches_numpy(trained):
+    """as_numpy=False must return DEVICE arrays bit-equal to the fetched
+    path (the surface-ray exporter post-processes these on device)."""
+    import jax
+
+    system, _, _, _ = trained
+    bundle = system.val_dataset.image_bundle(0).to_ray_batch()
+    o, d = bundle.ray_origins, bundle.ray_directions
+    ref = system.query_rays(o, d, 2.0, 6.0, chunk=512,
+                            fields=("rgb_map", "depth_map"))
+    dev = system.query_rays(o, d, 2.0, 6.0, chunk=512,
+                            fields=("rgb_map", "depth_map"), as_numpy=False)
+    assert isinstance(dev.rgb_map, jax.Array)
+    assert dev.disp_map is None  # field filtering applies on device too
+    np.testing.assert_array_equal(np.asarray(dev.rgb_map), ref.rgb_map)
+    np.testing.assert_array_equal(np.asarray(dev.depth_map), ref.depth_map)
+
+
 def test_sample_points(trained):
     system, _, _, _ = trained
     pts = jnp.zeros((5, 3))
