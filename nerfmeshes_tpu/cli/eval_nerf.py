@@ -46,7 +46,7 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     from nerfmeshes_tpu.config.paths import resolve_paths
     from nerfmeshes_tpu.data.datasets import DatasetType, build_dataset
-    from nerfmeshes_tpu.ops.math import mse2psnr, ssim
+    from nerfmeshes_tpu.ops.math import ssim
     from nerfmeshes_tpu.utils.images import cast_to_disparity_image
     from nerfmeshes_tpu.train.factory import build_system
 
@@ -75,6 +75,29 @@ def main(argv=None) -> None:
     mses = []
     ssims = []
     video_frames = [] if args.synthesis_video else None
+    save_rgb = bool(
+        (save_dir and (args.save_images or args.synthesis_images))
+        or video_frames is not None
+    )
+
+    import jax
+
+    # Metrics run ON DEVICE against the unfetched render (the old path
+    # fetched f32 rgb then re-uploaded it + the target for SSIM — ~23 MB
+    # of tunnel traffic per 800^2 view); the host receives two scalars,
+    # plus uint8 rgb only when PNGs/frames are requested.
+    @jax.jit
+    def _metrics(rgb_flat, target_flat):
+        mse = jnp.mean((rgb_flat - target_flat) ** 2)
+        return mse, ssim(
+            rgb_flat.reshape(H, W, 3), target_flat.reshape(H, W, 3)
+        )
+
+    @jax.jit
+    def _to_u8(rgb_flat):
+        scaled = jnp.clip(rgb_flat.reshape(H, W, 3), 0.0, 1.0) * 255.0
+        return scaled.astype(jnp.uint8)
+
     for idx in range(len(dataset)):
         # Rays stay on device (dataset.image_rays); only targets/bounds
         # are host-side.
@@ -89,31 +112,33 @@ def main(argv=None) -> None:
             origins, directions, float(near), float(far),
             fields=("rgb_map", "disp_map") if args.save_disparity
             else ("rgb_map",),
+            as_numpy=False,
         )
-        rgb = np.asarray(out.rgb_map).reshape(H, W, 3)
 
         line = f"[{idx:03d}]"
         if targets is not None:
             target = np.asarray(targets).reshape(H, W, 3)
-            mse = float(np.mean((rgb - target) ** 2))
-            mses.append(mse)
-            s_val = float(ssim(jnp.asarray(rgb), jnp.asarray(target)))
-            ssims.append(s_val)
-            line += (
-                f" mse={mse:.5f} psnr={float(mse2psnr(jnp.asarray(mse))):.2f}"
-                f" ssim={s_val:.4f}"
+            mse, s_val = (
+                float(v)
+                for v in jax.device_get(
+                    _metrics(out.rgb_map, jnp.asarray(targets).reshape(-1, 3))
+                )
             )
+            mses.append(mse)
+            ssims.append(s_val)
+            # Host-side psnr (ops.math.mse2psnr semantics) — a device
+            # mse2psnr call would cost a ~100 ms scalar fetch per view.
+            psnr = -10.0 * float(np.log10(mse if mse > 0 else 1e-5))
+            line += f" mse={mse:.5f} psnr={psnr:.2f} ssim={s_val:.4f}"
         print(line, flush=True)
 
+        rgb_u8 = np.asarray(_to_u8(out.rgb_map)) if save_rgb else None
         if video_frames is not None:
-            video_frames.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            video_frames.append(rgb_u8)
         if save_dir and (args.save_images or args.synthesis_images):
             import imageio.v2 as imageio
 
-            imageio.imwrite(
-                save_dir / f"{idx:04d}_rgb.png",
-                (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
-            )
+            imageio.imwrite(save_dir / f"{idx:04d}_rgb.png", rgb_u8)
             if targets is not None:
                 imageio.imwrite(
                     save_dir / f"{idx:04d}_target.png",
@@ -136,9 +161,10 @@ def main(argv=None) -> None:
 
     if mses:
         mean_mse = float(np.mean(mses))
+        mean_psnr = -10.0 * float(np.log10(mean_mse if mean_mse > 0 else 1e-5))
         print(
             f"dataset: mse={mean_mse:.5f} "
-            f"psnr={float(mse2psnr(jnp.asarray(mean_mse))):.2f} "
+            f"psnr={mean_psnr:.2f} "
             f"ssim={float(np.mean(ssims)):.4f}"
         )
 
