@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nerfmeshes_tpu.ops.pallas import chords as _chords
+
 # Inactive-row sentinel: a degenerate box far outside any scene so the slab
 # test can never pass the near/far cap.
 _PAD_LO = 1e8
@@ -214,7 +216,9 @@ def _subdivide(leaf: Leaf, count: int) -> List[Leaf]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("samples_count", "use_random_sampling", "max_chords"),
+    static_argnames=(
+        "samples_count", "use_random_sampling", "max_chords", "_force_kernel"
+    ),
 )
 def ray_voxel_intersect(
     voxels: jnp.ndarray,
@@ -228,6 +232,7 @@ def ray_voxel_intersect(
     use_random_sampling: bool = False,
     key: Optional[jax.Array] = None,
     max_chords: int = 0,
+    _force_kernel: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batch ray/AABB intersection + per-ray depth sampling.
 
@@ -255,17 +260,30 @@ def ray_voxel_intersect(
 
     # near/far may be scalars or per-ray (R,) (COLMAP per-image bounds):
     # add the voxel axis so they broadcast against (R, V).
-    near = jnp.asarray(near)
-    far = jnp.asarray(far)
-    if near.ndim > 0:
-        near = near[:, None]
-    if far.ndim > 0:
-        far = far[:, None]
+    near_r, far_r = jnp.asarray(near), jnp.asarray(far)
+    near = near_r[:, None] if near_r.ndim > 0 else near_r
+    far = far_r[:, None] if far_r.ndim > 0 else far_r
 
     V_total = voxels.shape[0]
-    use_slabs = (not use_random_sampling) and V_total > _SLAB_V
+    K_det = min(
+        V_total, max_chords if max_chords > 0 else AUTO_CHORD_CAP
+    )
+    # Fused Pallas slab-test + compaction (ops/pallas/chords.py): nothing
+    # (R, V)-sized touches HBM. Same slot semantics as the XLA paths
+    # below (tests pin it); on by default on TPU only.
+    use_kernel = (
+        (not use_random_sampling)
+        and (
+            _chords.kernel_enabled() if _force_kernel is None
+            else _force_kernel  # test override: pin either path
+        )
+        and _chords.supported(V_total, K_det)
+    )
+    use_slabs = (
+        (not use_random_sampling) and (not use_kernel) and V_total > _SLAB_V
+    )
 
-    if not use_slabs:
+    if not use_slabs and not use_kernel:
         mask, tmin, tmax = _slab_test(
             voxels, active, origins, inv_d, neg, near, far
         )
@@ -304,10 +322,15 @@ def ray_voxel_intersect(
         # K-sized comparison contractions. The output is constructed in
         # depth order, so the reference's final sort disappears.
         V = V_total
-        K = min(V, max_chords if max_chords > 0 else AUTO_CHORD_CAP)
+        K = K_det
         big = jnp.asarray(2.0 * _PAD_HI, jnp.float32)
 
-        if use_slabs:
+        if use_kernel:
+            lo_k, hi_k, ids_k, n_hit = _chords.compact_chords(
+                voxels, active, origins, dirs, near_r, far_r, K=K
+            )
+            ray_mask = n_hit > 0
+        elif use_slabs:
             # V beyond the workspace bound: scan over _SLAB_V-voxel slabs,
             # compacting each slab to <=K chords and appending into a
             # running first-K-by-V-index buffer — identical output to the
