@@ -149,6 +149,71 @@ def _flexible_mlp_flops(mcfg) -> tuple[float, float]:
     return 2.0 * full, 2.0 * sigma
 
 
+def _kernel_preflight(cfg, fine, params) -> dict:
+    """Compile EVERY Pallas kernel variant on the live backend, early,
+    and record ok/FAIL per variant (VERDICT r4 item 2b: the r4 chords
+    kernel shipped having never compiled on hardware — a Mosaic
+    verification failure must be loud here, never discovered by a
+    crashed BuFF run). Off-TPU the kernels run interpreted, where Mosaic
+    cannot fail; recorded as such."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfmeshes_tpu.ops.pallas import chords as _chords
+    from nerfmeshes_tpu.ops.pallas.fused_mlp import (
+        fused_flexible_apply_rays,
+        fused_sigma_points,
+        supports_fused,
+    )
+
+    if jax.default_backend() != "tpu":
+        return {"backend": jax.default_backend(), "note": "interpret-only"}
+
+    out = {"backend": "tpu"}
+
+    def leg(name, fn):
+        try:
+            jax.block_until_ready(fn())
+            out[name] = "ok"
+        except Exception as exc:
+            out[name] = f"FAIL: {type(exc).__name__}: {exc}"[:300]
+            print(f"kernel preflight FAILED [{name}]: {exc!r}", file=sys.stderr)
+
+    o = jnp.zeros((256, 3), jnp.float32)
+    d = jnp.ones((256, 3), jnp.float32)
+    z = jnp.linspace(2.0, 6.0, 64)[None, :].repeat(256, axis=0)
+    if supports_fused(fine):
+        leg(
+            "fused_mlp_fwd",
+            lambda: fused_flexible_apply_rays(
+                fine, params["fine"], o, d, z, inference=True
+            ),
+        )
+
+        def bwd():
+            loss = lambda p: jnp.sum(
+                fused_flexible_apply_rays(fine, p, o, d, z)
+            )
+            return jax.grad(loss)(params["fine"])
+
+        leg("fused_mlp_bwd", bwd)
+        leg(
+            "fused_sigma_only",
+            lambda: fused_sigma_points(fine, params["fine"], o),
+        )
+    # Chords kernel at the shipped BuFF shape (V=1728 = 12^3 root grid,
+    # K=64 auto cap) and the first auto-doubled cap. kernel_usable runs
+    # the guarded compile probe itself — failures degrade to the XLA path
+    # in production, but must be visible here.
+    for V, K in ((1728, 64), (1728, 128)):
+        name = f"chords_V{V}_K{K}"
+        ok = _chords.kernel_usable(V, K)
+        out[name] = "ok" if ok else "FAIL (kernel_usable probe; see warnings)"
+        if not ok:
+            print(f"kernel preflight FAILED [{name}]", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -178,6 +243,9 @@ def main() -> None:
     optimizer = build_optimizer(cfg)
     params = init_params(cfg, coarse, fine, jax.random.key(0))
     state = init_train_state(params, optimizer, seed=0)
+
+    preflight = _kernel_preflight(cfg, fine, params)
+    print(json.dumps({"kernel_preflight": preflight}), file=sys.stderr)
 
     train_fn = make_train_step(
         cfg, coarse, fine, optimizer, H=int(H), W=int(W), focal=float(focal)
@@ -369,6 +437,7 @@ def main() -> None:
 
     details = {
         "device": str(jax.devices()[0]),
+        "kernel_preflight": preflight,
         "n_chips": n_chips,
         "compile_s": compile_s,
         "steps_per_sec": n_calls * steps_per_call / elapsed,

@@ -214,12 +214,6 @@ def _subdivide(leaf: Leaf, count: int) -> List[Leaf]:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "samples_count", "use_random_sampling", "max_chords", "_force_kernel"
-    ),
-)
 def ray_voxel_intersect(
     voxels: jnp.ndarray,
     active: jnp.ndarray,
@@ -251,7 +245,49 @@ def ray_voxel_intersect(
     The default K=64 covers the shipped configs (~36 measured crossings
     at depth 4) and the auto-doubling absorbs deeper trees; cost is
     linear in K.
+
+    The fused Pallas kernel (ops/pallas/chords.py) vs XLA decision is
+    resolved HERE, outside the jitted impl, and passed through a static
+    arg — so the jit cache keys on it (flipping NERFMESHES_CHORDS_KERNEL
+    mid-process takes effect for already-seen shapes) and so a kernel
+    that fails its one-time compile probe on the live backend degrades
+    to the XLA path instead of crashing BuFF.
     """
+    V_total = voxels.shape[0]
+    K_det = min(V_total, max_chords if max_chords > 0 else AUTO_CHORD_CAP)
+    if use_random_sampling:
+        use_kernel = False
+    elif _force_kernel is not None:
+        # Test override: pin either path (still bounded by supported()).
+        use_kernel = _force_kernel and _chords.supported(V_total, K_det)
+    else:
+        use_kernel = _chords.kernel_enabled() and _chords.kernel_usable(
+            V_total, K_det
+        )
+    return _ray_voxel_intersect_impl(
+        voxels, active, origins, dirs, near, far,
+        samples_count=samples_count,
+        use_random_sampling=use_random_sampling,
+        key=key,
+        max_chords=max_chords,
+        _use_kernel=use_kernel,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples_count", "use_random_sampling", "max_chords", "_use_kernel"
+    ),
+)
+def _ray_voxel_intersect_impl(
+    voxels, active, origins, dirs, near, far, *,
+    samples_count: int,
+    use_random_sampling: bool,
+    key: Optional[jax.Array],
+    max_chords: int,
+    _use_kernel: bool,
+):
     R = dirs.shape[0]
     origins = jnp.broadcast_to(jnp.reshape(origins, (-1, 3)), (R, 3))
 
@@ -270,15 +306,8 @@ def ray_voxel_intersect(
     )
     # Fused Pallas slab-test + compaction (ops/pallas/chords.py): nothing
     # (R, V)-sized touches HBM. Same slot semantics as the XLA paths
-    # below (tests pin it); on by default on TPU only.
-    use_kernel = (
-        (not use_random_sampling)
-        and (
-            _chords.kernel_enabled() if _force_kernel is None
-            else _force_kernel  # test override: pin either path
-        )
-        and _chords.supported(V_total, K_det)
-    )
+    # below (tests pin it); decision made by the wrapper above.
+    use_kernel = _use_kernel
     use_slabs = (
         (not use_random_sampling) and (not use_kernel) and V_total > _SLAB_V
     )
@@ -390,6 +419,11 @@ def ray_voxel_intersect(
         # depth-sorted chords) — no final sort.
 
     return z_vals, voxel_idx, ray_mask, dropped
+
+
+# The public wrapper is a plain function; tests clear the underlying jit
+# cache through it (e.g. after monkeypatching _SLAB_V).
+ray_voxel_intersect.clear_cache = _ray_voxel_intersect_impl.clear_cache
 
 
 def _slab_test(voxels, active, origins, inv_d, neg, near, far):

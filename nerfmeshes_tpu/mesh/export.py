@@ -95,14 +95,15 @@ def export_ply(vertices, triangles=None, colors=None, normals=None, filename="ou
             fh.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
         fh.write(f"element face {len(tris)}\n")
         fh.write("property list uchar int vertex_indices\nend_header\n")
+        normals_all = np.asarray(normals) if has_n else None
+        c_all = _colors_u8(colors) if has_c else None
         for i in range(n):
             row = list(vertices[i])
             if has_n:
-                row += list(np.asarray(normals)[i])
+                row += list(normals_all[i])
             line = " ".join(f"{x}" for x in row)
             if has_c:
-                c = _colors_u8(colors)[i]
-                line += " {} {} {}".format(*c)
+                line += " {} {} {}".format(*c_all[i])
             fh.write(line + "\n")
         for f in tris:
             fh.write("3 {} {} {}\n".format(*f))

@@ -146,7 +146,12 @@ def _chords_kernel(K: int, V: int, rays_ref, boxes_ref,
 
         sel_lo = jnp.where(mask, tmin, 0.0)
         sel_hi = jnp.where(mask, tmax, 0.0)
-        ids = jax.lax.broadcasted_iota(f32, (VC, R_TILE), 0) + float(c * VC)
+        # Mosaic only lowers integer iota; build int32 then cast (a float
+        # iota fails TPU verification: "'tpu.iota' op result #0 must be
+        # vector of integer or index values" — the r4 hardware break).
+        ids = jax.lax.broadcasted_iota(jnp.int32, (VC, R_TILE), 0).astype(
+            f32
+        ) + float(c * VC)
         sel_ids = jnp.where(mask, ids, 0.0)
 
         for g in range(K // K_GROUP):
@@ -182,9 +187,57 @@ def _chords_kernel(K: int, V: int, rays_ref, boxes_ref,
 
 def supported(V: int, K: int) -> bool:
     """Shapes the kernel handles: K in sublane-aligned groups (the
-    auto-doubling cap only ever produces powers of two >= 64) and a
-    voxel count whose padded VMEM residency stays comfortable."""
-    return K % K_GROUP == 0 and K >= K_GROUP and _round_up(V, VC) <= 8 * VC
+    auto-doubling cap only ever produces powers of two >= 64), bounded
+    above — the kernel unrolls K/K_GROUP accumulation blocks per voxel
+    chunk and holds 3*K*R_TILE f32 of scratch, so an auto-doubled cap
+    past 256 would inflate compile time (tunnel-wedge risk) for a tree
+    the slab-scan XLA path handles fine — and a voxel count whose padded
+    VMEM residency stays comfortable."""
+    return (
+        K % K_GROUP == 0
+        and K_GROUP <= K <= 256
+        and _round_up(V, VC) <= 8 * VC
+    )
+
+
+_HEALTH: dict = {}
+
+
+def kernel_usable(V: int, K: int) -> bool:
+    """`supported()` plus a one-time guarded compile+run probe at this
+    (V_pad, K) on the live backend, so a Mosaic regression degrades to
+    the XLA path instead of crashing every BuFF run (the r4 ship-break:
+    a kernel that never compiled on hardware was the default path with
+    no fallback). The probe runs one R_TILE-ray tile — Mosaic verifies
+    the kernel body independently of grid size, so a body-level failure
+    at the production ray count is caught here. Results are cached per
+    (V_pad, K) for the process lifetime."""
+    if not supported(V, K):
+        return False
+    if _interpret():
+        return True  # interpret mode cannot fail Mosaic verification
+    cache_key = (_round_up(max(V, 1), VC), K)
+    ok = _HEALTH.get(cache_key)
+    if ok is None:
+        try:
+            voxels = jnp.zeros((V, 2, 3), jnp.float32)
+            active = jnp.zeros((V,), bool)
+            o = jnp.zeros((1, 3), jnp.float32)
+            d = jnp.ones((1, 3), jnp.float32)
+            jax.block_until_ready(
+                compact_chords(voxels, active, o, d, 0.1, 1.0, K=K)
+            )
+            ok = True
+        except Exception as e:  # pragma: no cover — backend-dependent
+            import warnings
+
+            warnings.warn(
+                f"chords Pallas kernel failed its compile probe at V={V} "
+                f"K={K} ({type(e).__name__}: {e}); using the XLA path"
+            )
+            ok = False
+        _HEALTH[cache_key] = ok
+    return ok
 
 
 @functools.partial(jax.jit, static_argnames=("K",))

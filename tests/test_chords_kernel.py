@@ -100,7 +100,10 @@ def test_per_ray_bounds():
 
 def test_cap_binding_counts_dropped():
     rng = np.random.default_rng(3)
-    voxels = grid_voxels(6)  # center rays cross up to ~3n cells
+    # On an n^3 grid these rays cross ~n..3n cells; n=6 gave only 6-8
+    # crossings so max_chords=8 never bound (the r4 red test). n=12
+    # guarantees >8 crossings per ray, so the cap genuinely binds.
+    voxels = grid_voxels(12)
     active = jnp.ones(voxels.shape[0], bool)
     o, d = make_rays(rng, 16)
     a, b = both(voxels, active, o, d, 0.1, 10.0,

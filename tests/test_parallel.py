@@ -178,3 +178,62 @@ def test_integrate_psum_matches_global_batch():
         np.asarray(got.memm), np.asarray(ref.memm), rtol=1e-5, atol=1e-6
     )
     assert int(got.counter) == int(ref.counter)
+
+
+def test_sharded_buff_step_with_chords_kernel_matches_xla(monkeypatch):
+    """The fused chords Pallas kernel through the SHARDED BuFF step
+    (VERDICT r4 item 3: off-TPU the kernel is normally disabled, so the
+    multi-device apparatus never exercised it — force it interpreted
+    here). Same init + seeds, kernel vs XLA compaction: the whole step's
+    loss and integrated tree state must match bit-for-bit."""
+    from nerfmeshes_tpu.buff.system import BuffCarry, make_buff_train_step
+    from nerfmeshes_tpu.buff.tree import TreeSampling
+
+    cfg = load_config("/root/repo/configs/tiny.yml")
+    cfg.experiment.steps_per_call = 2
+    cfg.nerf.train.num_random_rays = 256
+    cfg.experiment.use_fused_kernel = False
+    cfg.tree.subdivision_outer_count = 4
+    cfg.tree.max_voxel_count = 256
+    cfg.tree.step_size_integration_offset = 0
+    cfg.tree.step_size_tree = 10_000
+    cfg.nerf.train.radiance_field_noise_std = 1.0
+    ds = SyntheticDataset(cfg, DatasetType.TRAIN, num_images=2, image_size=16)
+    data = ds.device_arrays()
+    H, W, focal = ds.hwf
+    coarse, fine = create_models(cfg)
+    opt = build_optimizer(cfg)
+    params = init_params(cfg, coarse, fine, jax.random.key(0))
+
+    mesh = create_mesh()
+    rep = replicated(mesh)
+    data_r = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), data)
+
+    def run(env_value):
+        monkeypatch.setenv("NERFMESHES_CHORDS_KERNEL", env_value)
+        tree = TreeSampling(cfg)
+        carry = BuffCarry(
+            jax.device_put(init_train_state(params, opt, 0), rep),
+            jax.device_put(tree.device_state(), rep),
+        )
+        fn = make_buff_train_step(
+            cfg, coarse, opt, H=int(H), W=int(W), focal=float(focal),
+            mesh=mesh, donate=False,
+        )
+        carry, metrics = fn(carry, data_r)
+        return carry, metrics
+
+    c_k, m_k = run("1")  # kernel path, interpreted on the CPU mesh
+    c_x, m_x = run("0")  # XLA one-hot compaction
+    np.testing.assert_array_equal(
+        np.asarray(m_k["train/loss"]), np.asarray(m_x["train/loss"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_k.tree.memm), np.asarray(c_x.tree.memm)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(
+            jax.tree_util.tree_leaves(c_k.train.params)[0]
+        ),
+        np.asarray(jax.tree_util.tree_leaves(c_x.train.params)[0]),
+    )
