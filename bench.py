@@ -344,6 +344,8 @@ def main() -> None:
         float(_np.asarray(carry))
         return reps * n_pts / (time.time() - t0)
 
+    _buff_ctx: dict = {}
+
     def _buff_metric():
         # BuFF train throughput (the reference's novel component;
         # lego-shaped tree workload: 192 samples, <=1536 voxels).
@@ -359,6 +361,7 @@ def main() -> None:
             SyntheticDataset(bcfg, DatasetType.TRAIN, num_images=4, image_size=800),
             None,
         )
+        _buff_ctx["cfg"], _buff_ctx["system"] = bcfg, bsystem
 
         def buff_calls(n):
             m = None
@@ -369,6 +372,44 @@ def main() -> None:
         buff_calls(1)
         t0 = time.time()
         buff_calls(5)
+        return 5 * 20 * int(bcfg.nerf.train.num_random_rays) / (time.time() - t0)
+
+    def _buff_sharded_ab():
+        # VERDICT r4 item 3: the exact multi-chip BuFF program (shard_map +
+        # pmean grads + psum voxel accumulators + the chords Pallas kernel
+        # running per-device) on a 1-element mesh axis, timed against the
+        # unsharded BuFF run above on the same chip.
+        if "system" not in _buff_ctx:
+            return None
+        from nerfmeshes_tpu.buff.system import BuffCarry, make_buff_train_step
+        from nerfmeshes_tpu.parallel.mesh import create_mesh, replicated
+
+        bcfg, bsystem = _buff_ctx["cfg"], _buff_ctx["system"]
+        m = create_mesh(jax.devices())
+        bH, bW, bfocal = bsystem.train_dataset.hwf
+        fn = make_buff_train_step(
+            bcfg,
+            bsystem.coarse,
+            bsystem.optimizer,
+            H=int(bH),
+            W=int(bW),
+            focal=float(bfocal),
+            mesh=m,
+            force_shard=True,
+        )
+        rep = replicated(m)
+        p = init_params(bcfg, bsystem.coarse, None, jax.random.key(0))
+        carry = BuffCarry(
+            jax.device_put(init_train_state(p, bsystem.optimizer, seed=0), rep),
+            jax.device_put(bsystem.tree.device_state(), rep),
+        )
+        data_r = jax.device_put(bsystem._data, rep)
+        carry, mm = fn(carry, data_r)
+        jax.block_until_ready(mm["train/loss"])
+        t0 = time.time()
+        for _ in range(5):
+            carry, mm = fn(carry, data_r)
+        jax.block_until_ready(mm["train/loss"])
         return 5 * 20 * int(bcfg.nerf.train.num_random_rays) / (time.time() - t0)
 
     def _sharded_ab():
@@ -411,6 +452,7 @@ def main() -> None:
     render_rays_per_sec = _side(_render_metric)
     grid_pts_per_sec = _side(_grid_metric)
     buff_rays_per_sec = _side(_buff_metric)
+    buff_sharded_rays_per_sec = _side(_buff_sharded_ab)
     sharded_rays_per_sec = _side(_sharded_ab)
 
     # Auditable MFU (VERDICT r3 item 4): analytic model matmul FLOPs vs
@@ -434,6 +476,14 @@ def main() -> None:
     train_mfu = _mfu(train_flops_per_step, n_calls * steps_per_call / elapsed)
     render_mfu = _mfu(render_flops_per_ray, render_rays_per_sec)
     grid_mfu = _mfu(fine_sigma_fpp, grid_pts_per_sec)
+    # BuFF MFU (VERDICT r4 item 5): single network, num_coarse samples/ray,
+    # fwd+bwd=3x fwd — same convention as train_mfu.
+    buff_mfu = None
+    if "cfg" in _buff_ctx and buff_rays_per_sec:
+        bcfg = _buff_ctx["cfg"]
+        buff_fpp, _ = _flexible_mlp_flops(bcfg.models.coarse)
+        buff_flops_per_ray = int(bcfg.nerf.train.num_coarse) * buff_fpp * 3.0
+        buff_mfu = _mfu(buff_flops_per_ray, buff_rays_per_sec)
 
     details = {
         "device": str(jax.devices()[0]),
@@ -454,7 +504,14 @@ def main() -> None:
         "sharded_vs_unsharded": round(sharded_rays_per_sec / rays_per_sec, 4)
         if sharded_rays_per_sec
         else None,
+        "buff_sharded_train_rays_per_sec": buff_sharded_rays_per_sec,
+        "buff_sharded_vs_unsharded": round(
+            buff_sharded_rays_per_sec / buff_rays_per_sec, 4
+        )
+        if buff_sharded_rays_per_sec and buff_rays_per_sec
+        else None,
         "train_mfu": train_mfu,
+        "buff_mfu": buff_mfu,
         "render_mfu": render_mfu,
         "grid_mfu": grid_mfu,
         "mfu_bf16_peak_flops": peak,

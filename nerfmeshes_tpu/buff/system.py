@@ -123,9 +123,16 @@ def make_buff_train_step(
     steps_per_call: Optional[int] = None,
     donate: bool = True,
     intrinsics=None,
+    force_shard: bool = False,
 ):
     """Jitted BuFF train step: sample rays -> tree-sampled render -> MSE ->
-    update; then (past the integration offset) fold weights into the tree."""
+    update; then (past the integration offset) fold weights into the tree.
+
+    `force_shard=True` builds the full sharded program (shard_map +
+    axis_index key folding + pmean/psum collectives) even on a size-1
+    mesh — the exact multi-chip program on a 1-element axis; bench.py
+    uses it for the BuFF sharded-vs-unsharded A/B on the one real chip
+    (mirrors train/step.py:make_train_step)."""
     settings = RenderSettings.from_cfg(cfg, train=True)
     num_rays = int(cfg.nerf.train.num_random_rays)
     use_ndc = bool(cfg.dataset.use_ndc)
@@ -147,7 +154,8 @@ def make_buff_train_step(
             f"num_random_rays {num_rays} must be divisible by the mesh size {n_shards}"
         )
     local_rays = num_rays // max(n_shards, 1)
-    axis_name = DATA_AXIS if n_shards > 1 else None
+    sharded_body = n_shards > 1 or (force_shard and mesh is not None)
+    axis_name = DATA_AXIS if sharded_body else None
 
     def loss_fn(params, tree_state, origins, directions, targets, near, far,
                 depth_tgt, key):
@@ -200,7 +208,7 @@ def make_buff_train_step(
         reduce over ICI — the pallas kernel runs locally per device."""
         state, tree_state = carry
         key, k_sample, k_render = jax.random.split(state.key, 3)
-        if n_shards > 1:
+        if sharded_body:
             shard = jax.lax.axis_index(DATA_AXIS)
             k_img, k_pix = jax.random.split(k_sample)
             k_pix = jax.random.fold_in(k_pix, shard)
@@ -222,7 +230,7 @@ def make_buff_train_step(
             depth_tgt,
             k_render,
         )
-        if n_shards > 1:
+        if sharded_body:
             grads = jax.tree_util.tree_map(
                 lambda g: jax.lax.pmean(g, DATA_AXIS), grads
             )
@@ -276,7 +284,9 @@ def make_buff_train_step(
     # Params/tree/data replicated; the ray axis exists only inside the
     # per-device body (pallas kernels run as-is per device), collectives =
     # grad/metric pmean + voxel-accumulator psum.
-    sharded = maybe_shard(multi_step, mesh, (P(), P()), (P(), P()))
+    sharded = maybe_shard(
+        multi_step, mesh, (P(), P()), (P(), P()), force=force_shard
+    )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 

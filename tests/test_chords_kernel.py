@@ -156,8 +156,56 @@ def test_misses_and_tiny_shapes():
 def test_supported_shapes():
     assert chords.supported(1728, 64)
     assert chords.supported(4096, 128)
+    assert chords.supported(1728, 256)
     assert not chords.supported(1728, 12)  # K not group-aligned
     assert not chords.supported(64 * 1024, 64)  # V beyond VMEM residency
+    # Auto-doubled caps past 256 fall back to the slab-scan XLA path:
+    # the kernel unrolls K/K_GROUP blocks per chunk, so an oversized cap
+    # would inflate compile time (tunnel-wedge risk) instead.
+    assert not chords.supported(1728, 512)
+
+
+def test_kernel_usable_falls_back_when_probe_fails(monkeypatch):
+    """A Mosaic-style compile failure must degrade to the XLA path with a
+    warning, never crash BuFF (the r4 ship-break: broken kernel was the
+    default with no fallback)."""
+    import warnings
+
+    import nerfmeshes_tpu.buff.tree as tree_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic Mosaic verification failure")
+
+    monkeypatch.setattr(chords, "_interpret", lambda: False)
+    monkeypatch.setattr(chords, "compact_chords", boom)
+    monkeypatch.setattr(chords, "_HEALTH", {})
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert not chords.kernel_usable(1728, 64)
+        assert any("compile probe" in str(w.message) for w in rec)
+    # Cached: the probe must not re-run (boom would raise out of the
+    # cache-hit path only if called again — assert via a counter).
+    calls = []
+    monkeypatch.setattr(
+        chords, "compact_chords", lambda *a, **k: calls.append(1) or boom()
+    )
+    assert not chords.kernel_usable(1728, 64)
+    assert calls == []
+
+    # End-to-end: kernel requested via env, probe fails -> XLA result.
+    monkeypatch.setenv("NERFMESHES_CHORDS_KERNEL", "1")
+    rng = np.random.default_rng(6)
+    voxels = grid_voxels(3)
+    active = jnp.ones(voxels.shape[0], bool)
+    o, d = make_rays(rng, 9)
+    got = tree_mod.ray_voxel_intersect(
+        voxels, active, o, d, 0.1, 10.0, samples_count=12, max_chords=16
+    )
+    want = tree_mod.ray_voxel_intersect(
+        voxels, active, o, d, 0.1, 10.0, samples_count=12, max_chords=16,
+        _force_kernel=False,
+    )
+    assert_match(got, want)
 
 
 def test_compact_chords_direct_contract():
