@@ -202,15 +202,18 @@ def run_torch_hier(batches, eval_set, seed: int) -> dict:
     renderer.eval(); coarse.eval(); fine.eval()
     eo, ed, et = eval_set
     with torch.no_grad():
-        mses = []
+        mses, cmses = [], []
         for i in range(0, ed.shape[0], 1024):
             sl = slice(i, i + 1024)
-            _, fb = forward(torch.from_numpy(eo[sl]), torch.from_numpy(ed[sl]),
-                            train=False)
+            cb, fb = forward(torch.from_numpy(eo[sl]), torch.from_numpy(ed[sl]),
+                             train=False)
             mses.append(torch.nn.functional.mse_loss(
                 fb.rgb_map, torch.from_numpy(et[sl])).item())
+            cmses.append(torch.nn.functional.mse_loss(
+                cb.rgb_map, torch.from_numpy(et[sl])).item())
     psnr = float(-10.0 * np.log10(np.mean(mses)))
-    return {"psnr": psnr, "train_s": train_s}
+    coarse_psnr = float(-10.0 * np.log10(np.mean(cmses)))
+    return {"psnr": psnr, "coarse_psnr": coarse_psnr, "train_s": train_s}
 
 
 def run_torch_buff(batches, eval_set, seed: int) -> dict:
@@ -360,14 +363,16 @@ def run_jax_hier(batches, eval_set, seed: int, platform: str) -> dict:
 
     @jax.jit
     def eval_rgb(p, o, d):
-        _, fb = render_rays(coarse, fine, p, o, d, NEAR, FAR, settings,
-                            train=False)
-        return fb.rgb_map
+        cb, fb = render_rays(coarse, fine, p, o, d, NEAR, FAR, settings,
+                             train=False)
+        return cb.rgb_map, fb.rgb_map
 
     eo, ed, et = eval_set
-    rgb = np.asarray(eval_rgb(params, jnp.asarray(eo), jnp.asarray(ed)))
+    crgb, rgb = (np.asarray(x)
+                 for x in eval_rgb(params, jnp.asarray(eo), jnp.asarray(ed)))
     psnr = float(-10.0 * np.log10(np.mean((rgb - et) ** 2)))
-    return {"psnr": psnr, "train_s": train_s}
+    coarse_psnr = float(-10.0 * np.log10(np.mean((crgb - et) ** 2)))
+    return {"psnr": psnr, "coarse_psnr": coarse_psnr, "train_s": train_s}
 
 
 def run_jax_buff(batches, eval_set, seed: int, platform: str) -> dict:
@@ -503,7 +508,8 @@ def summarize():
     for stack in ("torch", "jax"):
         for system in ("hier", "buff"):
             rows = {int(k.split("_")[2]): v for k, v in data.items()
-                    if k.startswith(f"{stack}_{system}_")}
+                    if k.startswith(f"{stack}_{system}_")
+                    and len(k.split("_")) == 3}  # skip _s{C}x{F} probes
             if not rows:
                 continue
             ps = [rows[s]["psnr"] for s in sorted(rows)]
@@ -529,11 +535,17 @@ def main():
     ap.add_argument("--tree-sst", type=int, default=0,
                     help="override consolidation period (smoke tests only)")
     ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--hier-samples", type=int, nargs=2, metavar=("C", "F"),
+                    help="override coarse/fine sample counts (fine-vs-coarse "
+                         "short-budget dynamics probe, r5)")
     args = ap.parse_args()
     if args.tree_offset:
         TREE["step_size_integration_offset"] = args.tree_offset
     if args.tree_sst:
         TREE["step_size_tree"] = args.tree_sst
+    if args.hier_samples:
+        global HIER_COARSE, HIER_FINE
+        HIER_COARSE, HIER_FINE = args.hier_samples
 
     if args.summarize:
         summarize()
@@ -560,7 +572,12 @@ def main():
     if args.no_record:
         print(json.dumps(result))
     else:
-        record(f"{stack}_{system}_{seed}", result)
+        key = f"{stack}_{system}_{seed}"
+        if args.hier_samples:
+            # Off-protocol probe (e.g. 64+128 short-budget dynamics):
+            # suffixed key so the 3-seed protocol entries stay clean.
+            key += f"_s{HIER_COARSE}x{HIER_FINE}"
+        record(key, result)
 
 
 if __name__ == "__main__":
